@@ -1,0 +1,155 @@
+"""Windowed / ordered-sequence operators — the heart of the engine.
+
+Everything here is a pure DataFrame expression over
+``Window.partitionBy(conv_id).orderBy(ts, turn_idx)`` — JVM-side,
+whole-stage-codegen'd, ONE shuffle for the whole feature set (all
+windows share the same partitioning, so Catalyst reuses the exchange).
+No Python crosses the hot path.
+
+Leakage contract: every frame ends at the CURRENT ROW
+(``rowsBetween(..., 0)`` / ``rangeBetween(..., 0)``) — no feature may
+read turns with ``ts >`` the current turn. Lead-based columns are
+emitted only under ``include_labels=True`` with a ``label_`` prefix:
+they are training *targets*, never features (SURVEY.md §4 hard part c).
+
+Reference parity: these are the graft analogues of the reference's
+wavelength-axis kernels — sessionization ≙ peak detection
+(reference: src/pipeline/peak_detector.py:94-132), lag/lead deltas ≙
+np.gradient derivatives (src/pipeline/feature_engineering.py:683-698),
+rolling means ≙ band means (src/pipeline/feature_engineering.py:291-337),
+backfill ≙ post-merge NaN fill (src/pipeline/feature_engineering.py:1586-1615).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_S = 1800.0
+RATE_WINDOW_S = 60
+ROLL_ROWS = 5
+ROLES = ("assistant", "system", "tool", "user")
+
+# Locked output schema — the analogue of the reference's dry-run
+# feature-name lock (reference: src/pipeline/feature_engineering.py:277-285,
+# 1354-1358), but explicit in code instead of runtime-discovered.
+# Keys first, then features in alphabetical order.
+KEY_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+FEATURE_COLS = [
+    "cum_count_assistant",
+    "cum_count_system",
+    "cum_count_tool",
+    "cum_count_user",
+    "lag1_text_len_delta",
+    "lag1_ts_gap_s",
+    "rate_60s",
+    "roll_mean_text_len_5",
+    "session_id",
+    "text_len",
+    "tool_backfill",
+    "turn_in_session",
+]
+LABEL_COLS = ["label_lead1_text_len", "label_lead1_ts_gap_s"]
+FEATURE_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp, "
+    "cum_count_assistant int, cum_count_system int, cum_count_tool int, "
+    "cum_count_user int, lag1_text_len_delta double, lag1_ts_gap_s double, "
+    "rate_60s double, roll_mean_text_len_5 double, session_id int, "
+    "text_len int, tool_backfill string, turn_in_session int"
+)
+
+
+def _ts_us(col: str = "ts") -> Column:
+    """Exact integer microseconds — gap arithmetic stays in int64 and
+    divides once, so Spark and the pandas oracle produce bit-identical
+    doubles (SURVEY.md §7.3 hard part a: float parity via fixed
+    reduction order)."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def sessionize(
+    df: DataFrame,
+    gap_s: float = SESSION_GAP_S,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "turn_idx",
+) -> DataFrame:
+    """ts-gap sessionization: ``session_id`` = running count of gaps
+    > ``gap_s`` (graft analogue of find_peaks boundary detection,
+    reference: src/pipeline/peak_detector.py:94-132)."""
+    w = Window.partitionBy(entity_col).orderBy(ts_col, tiebreak_col)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = (_ts_us(ts_col) - F.lag(_ts_us(ts_col)).over(w)).cast("double") / F.lit(1e6)
+    return df.withColumn(
+        "session_id",
+        F.sum(F.when(gap > gap_s, 1).otherwise(0)).over(wcum).cast("int"),
+    )
+
+
+def featurize_expr(
+    df: DataFrame,
+    gap_s: float = SESSION_GAP_S,
+    rate_window_s: int = RATE_WINDOW_S,
+    roll_rows: int = ROLL_ROWS,
+    include_labels: bool = False,
+) -> DataFrame:
+    """The full per-turn feature vector as ONE window-expression plan.
+
+    Scale notes (100 TB): all windows below share
+    ``partitionBy(conv_id)`` — Catalyst plans a single hash exchange on
+    conv_id followed by one sort; every feature is computed in that one
+    pipelined stage. A mega-conversation lands in a single task: for
+    that case use :func:`astrospectro_spark.engine.skew.featurize_salted`,
+    which chunk-splits hot conversations with lookback overlap.
+    """
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = _ts_us("ts")
+
+    df = df.withColumn("text_len", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("int"))
+    gap_us = us - F.lag(us).over(w)
+    df = df.withColumn("lag1_ts_gap_s", gap_us.cast("double") / F.lit(1e6))
+    df = df.withColumn(
+        "lag1_text_len_delta",
+        (F.col("text_len") - F.lag("text_len").over(w)).cast("double"),
+    )
+    df = df.withColumn(
+        "session_id",
+        F.sum(F.when(F.col("lag1_ts_gap_s") > gap_s, 1).otherwise(0)).over(wcum).cast("int"),
+    )
+    ws = Window.partitionBy("conv_id", "session_id").orderBy("ts", "turn_idx")
+    df = df.withColumn("turn_in_session", F.row_number().over(ws).cast("int"))
+    # backfilled tool context: last non-null tool at-or-before this turn
+    # (≙ fill-forward in add_photometric_composites,
+    # reference: src/pipeline/feature_engineering.py:1586-1615)
+    df = df.withColumn("tool_backfill", F.last("tool", ignorenulls=True).over(wcum))
+    # rolling turn-rate on the REAL time axis: count of turns with
+    # ts in [t-60s, t] — a rangeBetween frame on integer microseconds.
+    # Note: rows sharing this exact ts are included regardless of
+    # turn_idx (time-based semantics; equal-ts is not leakage).
+    wrange = (
+        Window.partitionBy("conv_id")
+        .orderBy(us)
+        .rangeBetween(-rate_window_s * 1_000_000, 0)
+    )
+    df = df.withColumn("rate_60s", F.count(F.lit(1)).over(wrange).cast("double"))
+    for r in ROLES:
+        df = df.withColumn(
+            f"cum_count_{r}",
+            F.sum(F.when(F.col("role") == r, 1).otherwise(0)).over(wcum).cast("int"),
+        )
+    df = df.withColumn(
+        "roll_mean_text_len_5",
+        F.avg("text_len").over(w.rowsBetween(-(roll_rows - 1), Window.currentRow)),
+    )
+    cols = KEY_COLS + FEATURE_COLS
+    if include_labels:
+        df = df.withColumn(
+            "label_lead1_text_len", F.lead("text_len").over(w).cast("double")
+        ).withColumn(
+            "label_lead1_ts_gap_s",
+            (F.lead(us).over(w) - us).cast("double") / F.lit(1e6),
+        )
+        cols = cols + LABEL_COLS
+    return df.select(*cols)

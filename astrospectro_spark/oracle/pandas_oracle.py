@@ -1,0 +1,160 @@
+"""Pure-pandas per-conversation reference implementation (the oracle).
+
+Mirrors the reference's golden-by-reimplementation spirit (its pandas
+path checks its NumPy path; here pandas checks Spark). This module is
+also reused as the kernel inside the grouped ``applyInPandas``
+featurizer (:mod:`astrospectro_spark.engine.featurize`) — one source of
+truth for the per-entity semantics, two execution engines.
+
+Semantics contract (must match engine/windows.py exactly):
+- stable ordering is ``(ts, turn_idx)``; all gap arithmetic is int64
+  microseconds divided once by 1e6 (bit-identical doubles both sides);
+- frames end at the current row (zero leakage); ``rate_60s`` is
+  time-based and includes equal-ts rows regardless of ``turn_idx``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+SESSION_GAP_S = 1800.0
+RATE_WINDOW_S = 60
+ROLL_ROWS = 5
+ROLES = ("assistant", "system", "tool", "user")
+
+
+def featurize_pdf(
+    pdf: pd.DataFrame,
+    gap_s: float = SESSION_GAP_S,
+    rate_window_s: int = RATE_WINDOW_S,
+    roll_rows: int = ROLL_ROWS,
+    include_labels: bool = False,
+) -> pd.DataFrame:
+    """Featurize ONE conversation (or one contiguous chunk of one).
+
+    Always re-sorts by (ts, turn_idx): grouped-map input order is not
+    guaranteed by Spark (SURVEY.md §4 custom-work item 2), and the
+    oracle must not depend on input order either.
+    """
+    g = pdf.sort_values(["ts", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    text = g["text"].fillna("")
+    text_len = text.str.len().to_numpy().astype(np.int64)
+
+    out = pd.DataFrame(
+        {
+            "conv_id": g["conv_id"],
+            "turn_idx": g["turn_idx"].astype("int32"),
+            "role": g["role"],
+            "text": g["text"],
+            "tool": g["tool"],
+            "ts": g["ts"],
+        }
+    )
+    gap_us = np.diff(ts_us, prepend=ts_us[:1])
+    gap_s_arr = gap_us.astype(np.float64) / 1e6
+    gap_s_arr[0] = np.nan
+    lag_len = np.roll(text_len, 1).astype(np.float64)
+    lag_delta = text_len.astype(np.float64) - lag_len
+    lag_delta[0] = np.nan
+
+    session_id = np.cumsum(np.nan_to_num(gap_s_arr, nan=0.0) > gap_s).astype(np.int32)
+    # row_number within (conv, session)
+    turn_in_session = np.ones(len(g), dtype=np.int32)
+    if len(g) > 1:
+        same = session_id[1:] == session_id[:-1]
+        run = 1
+        for i in range(1, len(g)):
+            run = run + 1 if same[i - 1] else 1
+            turn_in_session[i] = run
+
+    tool_backfill = g["tool"].ffill()
+
+    lo = np.searchsorted(ts_us, ts_us - rate_window_s * 1_000_000, side="left")
+    hi = np.searchsorted(ts_us, ts_us, side="right")
+    rate = (hi - lo).astype(np.float64)
+
+    roll_mean = (
+        pd.Series(text_len).rolling(roll_rows, min_periods=1).mean().to_numpy()
+    )
+
+    out["cum_count_assistant"] = np.cumsum(g["role"].to_numpy() == "assistant").astype("int32")
+    out["cum_count_system"] = np.cumsum(g["role"].to_numpy() == "system").astype("int32")
+    out["cum_count_tool"] = np.cumsum(g["role"].to_numpy() == "tool").astype("int32")
+    out["cum_count_user"] = np.cumsum(g["role"].to_numpy() == "user").astype("int32")
+    out["lag1_text_len_delta"] = lag_delta
+    out["lag1_ts_gap_s"] = gap_s_arr
+    out["rate_60s"] = rate
+    out["roll_mean_text_len_5"] = roll_mean
+    out["session_id"] = session_id
+    out["text_len"] = text_len.astype("int32")
+    out["tool_backfill"] = tool_backfill
+    out["turn_in_session"] = turn_in_session
+
+    if include_labels:
+        lead_len = np.roll(text_len, -1).astype(np.float64)
+        lead_len[-1] = np.nan
+        lead_gap = np.roll(gap_us, -1).astype(np.float64) / 1e6
+        lead_gap[-1] = np.nan
+        out["label_lead1_text_len"] = lead_len
+        out["label_lead1_ts_gap_s"] = lead_gap
+    return out
+
+
+def oracle_features(transcripts: pd.DataFrame, **kw) -> pd.DataFrame:
+    """Featurize a whole transcripts table, conversation by conversation."""
+    parts = [
+        featurize_pdf(grp, **kw)
+        for _, grp in transcripts.groupby("conv_id", sort=True)
+    ]
+    return pd.concat(parts, ignore_index=True)
+
+
+def oracle_asof(
+    transcripts: pd.DataFrame,
+    anchors: pd.DataFrame,
+    value_cols: list[str] | None = None,
+    tolerance_col: str | None = None,
+) -> pd.DataFrame:
+    """Backward as-of join oracle via ``pd.merge_asof`` per conv_id.
+
+    For each anchor: the LATEST turn with ``ts <= anchor_ts`` (boundary
+    inclusive), tie-broken by largest ``turn_idx`` — the same
+    best-match-per-entity semantics as the reference's Gaia
+    cross-match dedup (reference: src/tools/gaia_crossmatcher.py:735-744).
+    Anchors on unmatched conv_ids or before the first turn get NULLs
+    (reference: unmatched objid rows, gaia_crossmatcher.py:808-809).
+    """
+    value_cols = value_cols or ["turn_idx", "role", "text", "tool", "ts"]
+    t = transcripts.sort_values(["ts", "turn_idx"], kind="mergesort")
+    a = anchors.sort_values(["anchor_ts", "anchor_id"], kind="mergesort")
+    left = a[["conv_id", "anchor_id", "anchor_ts"]].copy()
+    if tolerance_col:
+        left[tolerance_col] = a[tolerance_col].to_numpy()
+    right = t[["conv_id", "ts", "turn_idx"] + [c for c in value_cols if c not in ("ts", "turn_idx")]]
+    right = right.rename(columns={c: f"asof_{c}" for c in value_cols})
+    merged = pd.merge_asof(
+        left.sort_values("anchor_ts", kind="mergesort"),
+        right.sort_values(["asof_ts"], kind="mergesort")
+        if "asof_ts" in right.columns
+        else right,
+        left_on="anchor_ts",
+        right_on="asof_ts",
+        by="conv_id",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    # merge_asof breaks ties by taking the LAST matching row in sort
+    # order; our sort is (ts, turn_idx) so that's the largest turn_idx —
+    # matches the engine's contract.
+    if tolerance_col:
+        gap = (
+            merged["anchor_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            - merged["asof_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ) / 1e6
+        too_old = gap > merged[tolerance_col].to_numpy().astype(np.float64)
+        for c in merged.columns:
+            if c.startswith("asof_"):
+                merged.loc[too_old, c] = None
+    return merged.sort_values("anchor_id").reset_index(drop=True)

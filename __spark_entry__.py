@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship transcript-feature pipeline on sf0.001.
+``queries()`` / ``oracle_sql()`` — operator inventory from SURVEY.md §2
+implemented in :mod:`astrospectro_spark.queries` with DuckDB oracles in
+:mod:`astrospectro_spark.oracle.duckdb_sql`.
 """
 
 from __future__ import annotations
@@ -13,26 +12,49 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from astrospectro_spark.queries import QUERIES
+from astrospectro_spark.oracle.duckdb_sql import ORACLE_SQL
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the full per-turn feature vector (sessionize +
+    lag/lead + backfill + rolling rate + cumulative role counts) over
+    the events table read as a transcript stream, joined as-of against
+    purchase anchors — the engine's minimum end-to-end slice
+    (SURVEY.md §7.1)."""
+    from pyspark.sql import functions as F
+
+    from astrospectro_spark.queries import (
+        q_asof_join,
+        q_backfill,
+        q_cum_role_counts,
+        q_lag_delta,
+        q_roll_mean,
+        q_sessionize,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    base = q_sessionize(spark, sf_dir)
+    parts = [
+        q_lag_delta(spark, sf_dir),
+        q_backfill(spark, sf_dir),
+        q_cum_role_counts(spark, sf_dir),
+        q_roll_mean(spark, sf_dir),
+    ]
+    out = base
+    for p in parts:
+        out = out.join(p.drop("user_id"), "event_id")
+    asof = q_asof_join(spark, sf_dir).select(
+        "event_id",
+        F.col("asof_click_id"),
+        F.col("asof_click_value"),
+    )
+    return out.join(asof, "event_id", "left")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

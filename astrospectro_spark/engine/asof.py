@@ -121,28 +121,36 @@ def asof_join_grouped(
     type_map = dict(turns.dtypes)
     a_types = dict(anchors.dtypes)
     out_fields = (
-        [f"{entity_col} string"]
+        [f"{entity_col} {type_map[entity_col]}"]
         + [f"{c} {a_types[c]}" for c in anchor_payload]
         + [f"asof_{c} {type_map[c]}" for c in value_cols]
     )
     schema = ", ".join(out_fields)
 
-    def fn(t_pdf, a_pdf):
-        if len(a_pdf) == 0:
-            import pandas as _pd
+    int_like = {
+        c
+        for c in value_cols
+        if type_map[c] in ("tinyint", "smallint", "int", "bigint", "long")
+    }
 
-            return _pd.DataFrame(
-                columns=[entity_col] + anchor_payload + [f"asof_{c}" for c in value_cols]
-            )
+    def fn(t_pdf, a_pdf):
+        import pandas as _pd
+
+        cols = [entity_col] + anchor_payload + [f"asof_{c}" for c in value_cols]
+        if len(a_pdf) == 0:
+            return _pd.DataFrame(columns=cols)
         if len(t_pdf) == 0:
             out = a_pdf.copy()
             for c in value_cols:
                 out[f"asof_{c}"] = None
-            return out[[entity_col] + anchor_payload + [f"asof_{c}" for c in value_cols]]
+            return out[cols]
         m = oracle_asof(
             t_pdf, a_pdf, value_cols=value_cols, tolerance_col=tolerance_col
         )
-        cols = [entity_col] + anchor_payload + [f"asof_{c}" for c in value_cols]
+        # merge_asof promotes int columns with unmatched rows to float64
+        # (NaN) — convert to nullable Int64 so Arrow can emit int + NULL.
+        for c in int_like:
+            m[f"asof_{c}"] = m[f"asof_{c}"].astype("Int64")
         return m[cols]
 
     return (

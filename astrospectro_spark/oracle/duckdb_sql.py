@@ -1,0 +1,214 @@
+"""DuckDB oracle SQL — one ANSI-SQL equivalent per query in
+:mod:`astrospectro_spark.queries`. The driver runs these on the same
+parquet tables (pre-registered views) and compares row-count + schema +
+order-insensitive value-hash against the Spark result.
+
+Conventions (mirror queries.py): epoch-microsecond BIGINTs for
+timestamps, ``round(x, 6)`` on float aggregates, explicit BIGINT casts
+on DuckDB window SUMs (they default to HUGEINT).
+"""
+
+SESSION_CTE = """
+WITH gaps AS (
+  SELECT event_id, user_id, ts, value, event_type,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w)::DOUBLE / 1e6 AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT event_id, user_id, ts, value, event_type,
+         CAST(sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM gaps
+)
+"""
+
+ASOF_CTE = """
+WITH anchors AS (
+  SELECT user_id, event_id AS anchor_id, ts AS anchor_ts
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, event_id, value, ts
+  FROM events WHERE event_type = 'click'
+), ranked AS (
+  SELECT a.anchor_id, a.user_id, c.event_id AS click_id, c.value AS click_value,
+         c.ts AS click_ts,
+         row_number() OVER (PARTITION BY a.anchor_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM anchors a LEFT JOIN clicks c
+    ON a.user_id = c.user_id AND c.ts <= a.anchor_ts
+)
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "sessionize": SESSION_CTE
+    + """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, session_id,
+       CAST(row_number() OVER (PARTITION BY user_id, session_id
+                               ORDER BY ts, event_id) AS BIGINT) AS turn_in_session
+FROM sess
+""",
+    "lag_delta": """
+SELECT event_id, user_id,
+       round(value - lag(value) OVER w, 6) AS lag1_value_delta,
+       round((epoch_us(ts) - lag(epoch_us(ts)) OVER w)::DOUBLE / 1e6, 6) AS lag1_ts_gap_s,
+       round(lead(value) OVER w - value, 6) AS label_lead1_value_delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    "backfill": """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type IN ('purchase','signup') THEN event_type END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS backfill_marker
+FROM events
+""",
+    "rolling_rate": """
+SELECT event_id, user_id,
+       count(*) OVER wr AS rate_1d,
+       round(sum(value) OVER wr, 6) AS value_sum_1d
+FROM events
+WINDOW wr AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+""",
+    "cum_role_counts": """
+SELECT event_id, user_id,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) OVER w AS BIGINT) AS cum_click,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) OVER w AS BIGINT) AS cum_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS cum_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) OVER w AS BIGINT) AS cum_signup,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) OVER w AS BIGINT) AS cum_error
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    "roll_mean": """
+SELECT event_id, user_id,
+       round(avg(value) OVER w5, 6) AS roll_mean_value_5,
+       round(min(value) OVER w5, 6) AS roll_min_value_5,
+       round(max(value) OVER w5, 6) AS roll_max_value_5
+FROM events
+WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+    "asof_join": ASOF_CTE
+    + """
+SELECT anchor_id AS event_id, user_id, click_id AS asof_click_id,
+       round(click_value, 6) AS asof_click_value,
+       epoch_us(click_ts) AS asof_click_ts_us
+FROM ranked WHERE rn = 1
+""",
+    "asof_join_grouped": ASOF_CTE
+    + """
+SELECT anchor_id AS event_id, user_id, click_id AS asof_click_id,
+       round(click_value, 6) AS asof_click_value,
+       epoch_us(click_ts) AS asof_click_ts_us
+FROM ranked WHERE rn = 1
+""",
+    "asof_tolerance": ASOF_CTE.replace("c.ts <= a.anchor_ts", "c.ts <= a.anchor_ts")
+    + """
+SELECT anchor_id AS event_id, user_id,
+       CASE WHEN epoch_us(anchor_ts) - epoch_us(click_ts) <= 21600::BIGINT * 1000000
+            THEN click_id END AS asof_click_id,
+       CASE WHEN epoch_us(anchor_ts) - epoch_us(click_ts) <= 21600::BIGINT * 1000000
+            THEN round(click_value, 6) END AS asof_click_value
+FROM (SELECT r.*, a2.anchor_ts
+      FROM ranked r JOIN (SELECT event_id AS anchor_id, ts AS anchor_ts
+                          FROM events WHERE event_type='purchase') a2 USING (anchor_id))
+WHERE rn = 1
+""",
+    "session_stats": SESSION_CTE
+    + """
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       round((max(epoch_us(ts)) - min(epoch_us(ts)))::DOUBLE / 1e6, 6) AS duration_s,
+       round(avg(value), 6) AS mean_value,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+FROM sess GROUP BY user_id, session_id
+""",
+    "best_match": """
+SELECT l_orderkey, first_partkey, first_linenumber, first_shipdate_us
+FROM (
+  SELECT l_orderkey, l_partkey AS first_partkey,
+         CAST(l_linenumber AS BIGINT) AS first_linenumber,
+         epoch_us(l_shipdate) AS first_shipdate_us,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_shipdate, l_linenumber) AS rn
+  FROM lineitem
+) WHERE rn = 1
+""",
+    "ledger_anti_join": """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    "broadcast_enrich": """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_lines,
+       count(DISTINCT s_suppkey) AS n_suppliers
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand
+""",
+    "rare_class_filter": """
+SELECT user_id, count(*) AS n_events, round(avg(value), 6) AS avg_value
+FROM events
+WHERE user_id IN (SELECT user_id FROM events GROUP BY user_id HAVING count(*) >= 60)
+GROUP BY user_id
+""",
+    "sentinel_nullify": """
+SELECT event_type,
+       CAST(sum(CASE WHEN value >= 190.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nulled,
+       round(avg(CASE WHEN value >= 190.0 THEN NULL ELSE value END), 6) AS avg_value_clean
+FROM events GROUP BY event_type
+""",
+    "topk_classes": """
+SELECT p_type, count(*) AS n
+FROM part GROUP BY p_type
+ORDER BY n DESC, p_type ASC LIMIT 10
+""",
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "regex_extract": r"""
+SELECT regexp_extract(p_type, '^(\w+)', 1) AS type_class,
+       count(*) AS n, round(avg(p_retailprice), 6) AS avg_price
+FROM part GROUP BY 1
+""",
+    "regression_slope": """
+SELECT user_id,
+       round(covar_pop(epoch_us(ts)::DOUBLE / 1e6, value)
+             / var_pop(epoch_us(ts)::DOUBLE / 1e6), 6) AS slope,
+       round(corr(epoch_us(ts)::DOUBLE / 1e6, value), 6) AS pearson_r,
+       count(*) AS n
+FROM events GROUP BY user_id
+""",
+    "winsorize": """
+WITH q AS (
+  SELECT quantile_cont(value, 0.005) AS lo, quantile_cont(value, 0.995) AS hi
+  FROM events
+)
+SELECT event_type,
+       round(avg(ln(1 + least(greatest(value, lo), hi))), 6) AS avg_log1p_winsor,
+       round(stddev_pop(least(greatest(value, lo), hi)), 6) AS std_winsor
+FROM events CROSS JOIN q
+GROUP BY event_type
+""",
+    "distinct_counts": """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+""",
+}

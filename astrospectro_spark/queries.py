@@ -1,0 +1,405 @@
+"""Driver-contract query bank: one entry per operator family from
+SURVEY.md §2, expressed over the driver's parquet tables
+(events / documents / embeddings / TPC-H-ish star schema).
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column names/types match the DuckDB oracle in
+:mod:`astrospectro_spark.oracle.duckdb_sql` exactly (the driver hashes
+values after sorting columns by name).
+
+Conventions for cross-engine hash equality:
+- timestamps leave as ``*_us`` epoch-microsecond BIGINTs (no tz/format
+  ambiguity) — Spark ``unix_micros`` ≡ DuckDB ``epoch_us`` (verified);
+- every float aggregate is ``round(x, 6)``;
+- counts stay BIGINT on both sides (DuckDB window SUMs cast from HUGEINT).
+
+The ``events`` table plays the transcript role: ``user_id`` ≙ conv_id,
+``(ts, event_id)`` ≙ (ts, turn_idx) stable ordering, ``event_type`` ≙
+role, ``value`` ≙ text_len.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from astrospectro_spark.engine.asof import asof_join, asof_join_grouped
+
+SESSION_GAP_S = 1800
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _us(col="ts"):
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+_W = lambda: Window.partitionBy("user_id").orderBy("ts", "event_id")  # noqa: E731
+
+
+def _wcum():
+    return _W().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+
+# ---------------------------------------------------------------- W1
+def q_sessionize(spark, sf_dir):
+    """ts-gap sessionization (SURVEY §2.5 W1; reference peak detection
+    src/pipeline/peak_detector.py:94-132)."""
+    ev = _t(spark, sf_dir, "events")
+    gap_s = (_us() - F.lag(_us()).over(_W())).cast("double") / 1e6
+    df = ev.withColumn(
+        "session_id",
+        F.sum(F.when(gap_s > SESSION_GAP_S, 1).otherwise(0)).over(_wcum()).cast("long"),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    return df.select(
+        "event_id",
+        "user_id",
+        _us().alias("ts_us"),
+        "session_id",
+        F.row_number().over(ws).cast("long").alias("turn_in_session"),
+    )
+
+
+# ---------------------------------------------------------------- W4
+def q_lag_delta(spark, sf_dir):
+    """lag/lead difference features (SURVEY §2.5 W4; np.gradient analog
+    src/pipeline/feature_engineering.py:683-698)."""
+    ev = _t(spark, sf_dir, "events")
+    w = _W()
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round((F.col("value") - F.lag("value").over(w)), 6).alias("lag1_value_delta"),
+        F.round(((_us() - F.lag(_us()).over(w)).cast("double") / 1e6), 6).alias("lag1_ts_gap_s"),
+        F.round((F.lead("value").over(w) - F.col("value")), 6).alias("label_lead1_value_delta"),
+    )
+
+
+# ---------------------------------------------------------------- backfill
+def q_backfill(spark, sf_dir):
+    """last-non-null carry-forward (FIXTURES tool_backfill; reference
+    post-merge NaN fill src/pipeline/feature_engineering.py:1586-1615)."""
+    ev = _t(spark, sf_dir, "events")
+    marker = F.when(F.col("event_type").isin("purchase", "signup"), F.col("event_type"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(marker, ignorenulls=True).over(_wcum()).alias("backfill_marker"),
+    )
+
+
+# ---------------------------------------------------------------- W5 rolling
+def q_rolling_rate(spark, sf_dir):
+    """time-based rolling count+sum, frame ends at current row
+    (SURVEY §2.5 W5 windowed integrals)."""
+    ev = _t(spark, sf_dir, "events")
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy(_us())
+        .rangeBetween(-86_400 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(wr).alias("rate_1d"),
+        F.round(F.sum("value").over(wr), 6).alias("value_sum_1d"),
+    )
+
+
+# ---------------------------------------------------------------- cum counts
+def q_cum_role_counts(spark, sf_dir):
+    """per-role cumulative counts (graft windowed features, SURVEY §2.5)."""
+    ev = _t(spark, sf_dir, "events")
+    cols = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+        .over(_wcum())
+        .cast("long")
+        .alias(f"cum_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return ev.select("event_id", "user_id", *cols)
+
+
+# ---------------------------------------------------------------- W3 rolling mean
+def q_roll_mean(spark, sf_dir):
+    """row-frame rolling mean (SURVEY §2.5 W3 smoothing analog)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(_W().rowsBetween(-4, 0)), 6).alias("roll_mean_value_5"),
+        F.round(F.min("value").over(_W().rowsBetween(-4, 0)), 6).alias("roll_min_value_5"),
+        F.round(F.max("value").over(_W().rowsBetween(-4, 0)), 6).alias("roll_max_value_5"),
+    )
+
+
+# ---------------------------------------------------------------- J2 as-of
+def _asof_frames(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    turns = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("conv_id"),
+            F.col("event_id").cast("int").alias("turn_idx"),
+            F.col("value"),
+            F.col("ts"),
+        )
+    )
+    anchors = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("anchor_id"),
+        F.col("ts").alias("anchor_ts"),
+    )
+    return turns, anchors
+
+
+def _asof_out(df):
+    return df.select(
+        F.col("anchor_id").alias("event_id"),
+        F.col("conv_id").alias("user_id"),
+        F.col("asof_turn_idx").cast("long").alias("asof_click_id"),
+        F.round("asof_value", 6).alias("asof_click_value"),
+        F.unix_micros(F.col("asof_ts").cast("timestamp")).alias("asof_click_ts_us"),
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """backward as-of join, window implementation (SURVEY §2.3 J2 —
+    Gaia best-match cross-match, src/tools/gaia_crossmatcher.py:712-744)."""
+    turns, anchors = _asof_frames(spark, sf_dir)
+    return _asof_out(asof_join(turns, anchors, value_cols=["turn_idx", "value", "ts"]))
+
+
+def q_asof_join_grouped(spark, sf_dir):
+    """same semantics via cogroup+applyInPandas merge_asof (north_star
+    sorted-merge path) — shares q_asof_join's oracle."""
+    turns, anchors = _asof_frames(spark, sf_dir)
+    return _asof_out(
+        asof_join_grouped(turns, anchors, value_cols=["turn_idx", "value", "ts"])
+    )
+
+
+def q_asof_tolerance(spark, sf_dir):
+    """bounded as-of: matches older than 6h are nulled (SURVEY §2.3 J7
+    ±window tolerance join, src/pipeline/peak_detector.py:137-181)."""
+    turns, anchors = _asof_frames(spark, sf_dir)
+    anchors = anchors.withColumn("tolerance_s", F.lit(21_600).cast("int"))
+    out = asof_join(
+        turns, anchors, value_cols=["turn_idx", "value", "ts"], tolerance_col="tolerance_s"
+    )
+    return out.select(
+        F.col("anchor_id").alias("event_id"),
+        F.col("conv_id").alias("user_id"),
+        F.col("asof_turn_idx").cast("long").alias("asof_click_id"),
+        F.round("asof_value", 6).alias("asof_click_value"),
+    )
+
+
+# ---------------------------------------------------------------- session agg
+def q_session_stats(spark, sf_dir):
+    """sessionize → per-session aggregates (composite; SURVEY §2.4 A9)."""
+    s = q_sessionize(spark, sf_dir).select("event_id", "session_id")
+    ev = _t(spark, sf_dir, "events").join(s, "event_id")
+    return (
+        ev.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round((F.max(_us()) - F.min(_us())).cast("double") / 1e6, 6).alias("duration_s"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("long").alias("n_errors"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- A6/O3 best match
+def q_best_match(spark, sf_dir):
+    """min-by dedup: first lineitem per order by (shipdate, linenumber)
+    (SURVEY §2.4 A6 groupby-first, src/tools/gaia_crossmatcher.py:740-744)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            F.col("l_partkey").alias("first_partkey"),
+            F.col("l_linenumber").cast("long").alias("first_linenumber"),
+            F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("first_shipdate_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- J6 anti join
+def q_ledger_anti_join(spark, sf_dir):
+    """available − consumed (SURVEY §2.3 J6 ledger anti-join,
+    src/tools/dataset_builder.py:197-205)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------- J1 broadcast join
+def q_broadcast_enrich(spark, sf_dir):
+    """fact⋈dims with explicit broadcast (SURVEY §2.3 J1 catalogue
+    left-join, src/pipeline/processing.py:472-478)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- F7 rare class
+def q_rare_class_filter(spark, sf_dir):
+    """drop entities with < threshold rows: groupBy+HAVING then semi-join
+    (SURVEY §2.2 F7, src/pipeline/classifier.py:791-796)."""
+    ev = _t(spark, sf_dir, "events")
+    keep = ev.groupBy("user_id").count().filter(F.col("count") >= 60).select("user_id")
+    return (
+        ev.join(keep, "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+# ---------------------------------------------------------------- F3 sentinel
+def q_sentinel_nullify(spark, sf_dir):
+    """sentinel→NULL coercion (SURVEY §2.2 F3 magnitude-99 rule,
+    src/tools/generate_catalog_from_fits.py:99-107)."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.when(F.col("value") >= 190.0, F.lit(None)).otherwise(F.col("value"))
+    return ev.groupBy("event_type").agg(
+        F.sum(F.when(v.isNull(), 1).otherwise(0)).cast("long").alias("n_nulled"),
+        F.round(F.avg(v), 6).alias("avg_value_clean"),
+    )
+
+
+# ---------------------------------------------------------------- O2 top-k
+def q_topk_classes(spark, sf_dir):
+    """top-10 most frequent classes, deterministic tiebreak (SURVEY
+    §2.6 O2 nlargest, src/pipeline/classifier.py:712-714)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_type")
+        .count()
+        .orderBy(F.desc("count"), F.asc("p_type"))
+        .limit(10)
+        .select("p_type", F.col("count").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------- A2 pricing agg
+def q_pricing_summary(spark, sf_dir):
+    """multi-aggregate groupBy (SURVEY §2.4 A2 band aggregates; TPC-H
+    Q1 shape for the agg surface)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- C1 regex
+def q_regex_extract(spark, sf_dir):
+    """regex class extraction (SURVEY §2.8 C1,
+    src/pipeline/master.py:894-901)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.withColumn("type_class", F.regexp_extract("p_type", r"^(\w+)", 1))
+        .groupBy("type_class")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("p_retailprice"), 6).alias("avg_price"))
+    )
+
+
+# ---------------------------------------------------------------- W9 slope
+def q_regression_slope(spark, sf_dir):
+    """per-entity regression slope = covar_pop/var_pop (SURVEY §2.5 W9
+    EW-vs-λ gradient, src/pipeline/feature_engineering.py:453-466)."""
+    ev = _t(spark, sf_dir, "events")
+    x = _us().cast("double") / 1e6
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(F.covar_pop(x, F.col("value")) / F.var_pop(x), 6).alias("slope"),
+            F.round(F.corr(x, F.col("value")), 6).alias("pearson_r"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- A4 winsorize
+def q_winsorize(spark, sf_dir):
+    """global quantile clip + log transform (SURVEY §2.4 A4
+    stabilize_spectral_features, src/pipeline/feature_engineering.py:1760-1793).
+    Exact percentile (not approx) so the oracle matches bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.agg(
+        F.expr("percentile(value, 0.005)").alias("lo"),
+        F.expr("percentile(value, 0.995)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.crossJoin(F.broadcast(q))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg(F.log1p(clipped)), 6).alias("avg_log1p_winsor"),
+            F.round(F.stddev_pop(clipped), 6).alias("std_winsor"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- A11 distinct
+def q_distinct_counts(spark, sf_dir):
+    """exact distinct per class (SURVEY §2.4 A11)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+QUERIES = {
+    "sessionize": q_sessionize,
+    "lag_delta": q_lag_delta,
+    "backfill": q_backfill,
+    "rolling_rate": q_rolling_rate,
+    "cum_role_counts": q_cum_role_counts,
+    "roll_mean": q_roll_mean,
+    "asof_join": q_asof_join,
+    "asof_join_grouped": q_asof_join_grouped,
+    "asof_tolerance": q_asof_tolerance,
+    "session_stats": q_session_stats,
+    "best_match": q_best_match,
+    "ledger_anti_join": q_ledger_anti_join,
+    "broadcast_enrich": q_broadcast_enrich,
+    "rare_class_filter": q_rare_class_filter,
+    "sentinel_nullify": q_sentinel_nullify,
+    "topk_classes": q_topk_classes,
+    "pricing_summary": q_pricing_summary,
+    "regex_extract": q_regex_extract,
+    "regression_slope": q_regression_slope,
+    "winsorize": q_winsorize,
+    "distinct_counts": q_distinct_counts,
+}

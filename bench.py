@@ -1,0 +1,106 @@
+"""Benchmark harness — prints ONE JSON line with per-query wall times.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32).
+The flagship measurement is end-to-end per-turn feature-vector
+throughput over the synthetic transcripts table at the matching scale
+(BASELINE.md primary metric: turns/sec), forced through a ``noop``
+sink so the full plan executes without disk-write noise.
+
+Scaling-efficiency evidence (north_rule N vs 4N executors) is produced
+by tools/bench_scaling.py, which runs THIS file at local[8] and
+local[32] and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _synth_dir(sf: str) -> str:
+    """Deterministic synth transcripts for this scale, cached in /tmp."""
+    import astrospectro_spark.synth as synth
+
+    out = f"/tmp/astrospectro_synth/{sf}"
+    marker = os.path.join(out, "transcripts.parquet")
+    if not os.path.exists(marker):
+        synth.write_scale(out, sf)
+    return out
+
+
+def _force(df) -> int:
+    """Execute the full plan; return row count (noop sink + count)."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from astrospectro_spark.engine.asof import asof_join
+    from astrospectro_spark.engine.windows import featurize_expr
+    from astrospectro_spark.queries import (
+        q_broadcast_enrich,
+        q_pricing_summary,
+        q_session_stats,
+    )
+    from astrospectro_spark.session import get_spark
+
+    sf = os.path.basename(SF_DIR.rstrip("/"))
+    if sf not in ("sf0.001", "sf0.01", "sf0.1"):
+        sf = "sf0.1"
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+
+    syn = _synth_dir(sf)
+    turns = spark.read.parquet(os.path.join(syn, "transcripts.parquet"))
+    anchors = spark.read.parquet(os.path.join(syn, "anchors.parquet"))
+    n_turns = turns.count()
+
+    # warmup: JVM + Python-worker spin-up out of the measurement
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    _force(featurize_expr(turns.limit(1000)))
+
+    timings: dict[str, float] = {}
+
+    def timed(name, thunk):
+        t0 = time.perf_counter()
+        thunk()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    timed("featurize_transcripts", lambda: _force(featurize_expr(turns)))
+    timed(
+        "asof_anchors",
+        lambda: _force(asof_join(turns, anchors, tolerance_col="tolerance_s")),
+    )
+    timed("session_stats", lambda: _force(q_session_stats(spark, SF_DIR)))
+    timed("pricing_summary", lambda: _force(q_pricing_summary(spark, SF_DIR)))
+    timed("broadcast_enrich", lambda: _force(q_broadcast_enrich(spark, SF_DIR)))
+
+    total = round(sum(timings.values()), 4)
+    turns_per_sec = round(n_turns / timings["featurize_transcripts"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_turns": n_turns,
+                "turns_per_sec_featurize": turns_per_sec,
+                "cpus": int(CPUS),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

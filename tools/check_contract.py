@@ -1,0 +1,105 @@
+"""Local mimic of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over
+the same sf directory, compare row count, column names, and values
+(sorted columns, order-insensitive rows, NaN-aware).
+
+Usage: python tools/check_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].where(df[c].notna(), None)
+    sort_cols = list(df.columns)
+    try:
+        return df.sort_values(sort_cols, kind="mergesort", na_position="last").reset_index(drop=True)
+    except Exception:
+        return df.reset_index(drop=True)
+
+
+def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
+    if len(a) != len(b):
+        return f"row count {len(a)} vs {len(b)}"
+    if sorted(a.columns) != sorted(b.columns):
+        return f"columns {sorted(a.columns)} vs {sorted(b.columns)}"
+    a, b = norm(a), norm(b)
+    for c in a.columns:
+        x, y = a[c], b[c]
+        if x.dtype.kind == "f" or y.dtype.kind == "f":
+            xv = x.to_numpy(dtype=float)
+            yv = y.to_numpy(dtype=float)
+            if not np.allclose(xv, yv, rtol=1e-9, atol=1e-9, equal_nan=True):
+                bad = ~np.isclose(xv, yv, rtol=1e-9, atol=1e-9, equal_nan=True)
+                return f"float col {c}: {xv[bad][:3]} vs {yv[bad][:3]} ({bad.sum()} rows)"
+        else:
+            xv = x.astype(object).where(x.notna(), None).tolist()
+            yv = y.astype(object).where(y.notna(), None).tolist()
+            if xv != yv:
+                bad = [(i, p, q) for i, (p, q) in enumerate(zip(xv, yv)) if p != q]
+                return f"col {c}: {bad[:3]} ({len(bad)} rows)"
+    return None
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from astrospectro_spark.session import get_spark
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    spark = get_spark(app_name="contract_check", master="local[8]", shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"[FAIL] {name}: spark error {str(e)[:200]}")
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(got)} rows")
+            continue
+        try:
+            want = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"[FAIL] {name}: duckdb error {str(e)[:200]}")
+            continue
+        err = compare(got, want)
+        if err:
+            failures.append((name, err))
+            print(f"[FAIL] {name}: {err}")
+        else:
+            print(f"[ok] {name}: {len(got)} rows")
+    print(f"\n{len(failures)} failures / {len(qs)} queries")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

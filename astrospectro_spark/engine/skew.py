@@ -1,0 +1,299 @@
+"""Salted range partitioning for mega-conversations (skew engine).
+
+``Window.partitionBy(conv_id)`` puts an entire conversation in ONE
+task; a conversation holding 30% of a 10^12-turn table would serialise
+the job. AQE's skew-join splitting cannot split a window/groupBy key
+(SURVEY.md §4 custom-work 1), so this module does it explicitly:
+
+1. **Census** — row counts per conv_id (one cheap agg). Conversations
+   above ``hot_threshold`` rows are "hot"; the rest take the normal
+   single-window path.
+2. **Range salting** — per hot conversation, ``approx_percentile`` of
+   the ts axis yields k-1 boundaries → ``chunk_id`` per row (array
+   fold, no window). This is the graft analogue of the reference's
+   5,000-row chunking (reference: src/pipeline/processing.py:108-110),
+   but range-based so chunks are contiguous in event time.
+3. **Overlap margin** — bounded-lookback features need history:
+   the last ``roll_rows-1`` rows of each chunk plus every row within
+   ``rate_window_s`` of a later chunk's start are COPIED into that
+   chunk flagged ``_ctx=1`` (context only: they feed frames, then drop).
+   Context rows always sort strictly before real rows (chunk ranges are
+   half-open on ts), so row frames stay contiguous.
+4. **Local pass** — one window over ``(conv_id, chunk_id)`` computes
+   bounded features exactly (context supplies history) and *local*
+   unbounded partials (masked to real rows).
+5. **Stitch pass** — a per-(conv, chunk) summary (rows, per-role
+   counts, session-boundary count, rows-after-last-boundary, last
+   tool) is tiny (k chunks per hot conv); exclusive prefix windows over
+   it yield the offsets that convert local unbounded partials into
+   global values. Summary joins back broadcast.
+
+The result is bit-identical to :func:`engine.windows.featurize_expr`
+(asserted in tests with chunking forced on), while a hot conversation
+runs as k parallel tasks instead of 1.
+
+Constraint: chunks are row-balanced by ts-quantiles, so
+``chunk_target_rows`` must be ≫ ``roll_rows`` (default 100k vs 5) for
+the one-chunk-back row margin to suffice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from astrospectro_spark.engine.windows import (
+    FEATURE_COLS,
+    KEY_COLS,
+    RATE_WINDOW_S,
+    ROLES,
+    ROLL_ROWS,
+    SESSION_GAP_S,
+    featurize_expr,
+)
+
+DEFAULT_HOT_THRESHOLD = 2_000_000
+DEFAULT_CHUNK_TARGET = 500_000
+
+
+def _us(col="ts"):
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def featurize_salted(
+    df: DataFrame,
+    gap_s: float = SESSION_GAP_S,
+    rate_window_s: int = RATE_WINDOW_S,
+    roll_rows: int = ROLL_ROWS,
+    hot_threshold: int = DEFAULT_HOT_THRESHOLD,
+    chunk_target_rows: int = DEFAULT_CHUNK_TARGET,
+) -> DataFrame:
+    """featurize_expr semantics with hot conversations split into
+    ts-range chunks that run as parallel tasks."""
+    census = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_n"))
+    hot_census = census.filter(F.col("_n") > hot_threshold)
+
+    cold = df.join(F.broadcast(hot_census.select("conv_id")), "conv_id", "left_anti")
+    cold_out = featurize_expr(
+        cold, gap_s=gap_s, rate_window_s=rate_window_s, roll_rows=roll_rows
+    )
+
+    hot = df.join(F.broadcast(hot_census), "conv_id", "left_semi")
+    hot_out = _featurize_hot(
+        hot,
+        hot_census,
+        gap_s=gap_s,
+        rate_window_s=rate_window_s,
+        roll_rows=roll_rows,
+        chunk_target_rows=chunk_target_rows,
+    )
+    return cold_out.unionByName(hot_out)
+
+
+def _featurize_hot(
+    hot: DataFrame,
+    hot_census: DataFrame,
+    gap_s: float,
+    rate_window_s: int,
+    roll_rows: int,
+    chunk_target_rows: int,
+) -> DataFrame:
+    k_rows = roll_rows - 1  # row-lookback margin
+    margin_us = rate_window_s * 1_000_000
+
+    # ---- 2. range salting: ts-quantile boundaries per hot conv.
+    # percentile_approx needs foldable fractions, so compute a fixed
+    # GRID-point quantile grid per conv, then select every (n/target)-th
+    # grid point. Boundaries are actual data values, so after
+    # array_distinct every interior chunk holds >= 1 row (its boundary
+    # row); parallelism per conversation is capped at GRID tasks.
+    GRID = 128
+    fracs = ", ".join(str((i + 1) / GRID) for i in range(GRID - 1))
+    bounds = (
+        hot.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.expr(
+                f"percentile_approx(unix_micros(cast(ts as timestamp)), "
+                f"array({fracs}), 10000)"
+            ).alias("_raw"),
+        )
+        .withColumn(
+            "_k",
+            F.least(
+                F.ceil(F.col("_n") / F.lit(chunk_target_rows)), F.lit(GRID)
+            ).cast("int"),
+        )
+        .withColumn(
+            "_bounds",
+            F.when(F.col("_k") <= 1, F.expr("cast(array() as array<bigint>)")).otherwise(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(F.col("_k") - 1, F.lit(1))),
+                        lambda i: F.element_at(
+                            "_raw",
+                            F.least(
+                                F.greatest(
+                                    F.round(i * GRID / F.col("_k")).cast("int"),
+                                    F.lit(1),
+                                ),
+                                F.lit(GRID - 1),
+                            ),
+                        ),
+                    )
+                )
+            ),
+        )
+        .select("conv_id", "_bounds")
+    )
+    hot = hot.join(F.broadcast(bounds), "conv_id")
+    us = _us("ts")
+    chunk_id = F.aggregate(
+        "_bounds",
+        F.lit(0),
+        lambda acc, b: acc + F.when(us >= b, 1).otherwise(0),
+    )
+    hot = hot.withColumn("_chunk", chunk_id)
+
+    # ---- 3. overlap margin: copy context rows into later chunks
+    real = hot.withColumn("_ctx", F.lit(0)).withColumn("_tgt", F.col("_chunk"))
+    # (a) time margin: a row is context for every chunk whose lower
+    # boundary b satisfies ts < b <= ts + margin (consecutive chunks).
+    n_time_copies = F.size(
+        F.filter("_bounds", lambda b: (us < b) & (b <= us + F.lit(margin_us)))
+    )
+    time_ctx = (
+        hot.withColumn("_ncopies", n_time_copies)
+        .filter(F.col("_ncopies") > 0)
+        .withColumn("_k", F.explode(F.sequence(F.lit(1), F.col("_ncopies"))))
+        .withColumn("_tgt", F.col("_chunk") + F.col("_k"))
+        .withColumn("_ctx", F.lit(1))
+        .drop("_ncopies", "_k")
+    )
+    # (b) row margin: last k_rows rows of each chunk serve the next chunk
+    wdesc = Window.partitionBy("conv_id", "_chunk").orderBy(
+        F.col("ts").desc(), F.col("turn_idx").desc()
+    )
+    row_ctx = (
+        hot.withColumn("_rn_end", F.row_number().over(wdesc))
+        .filter(F.col("_rn_end") <= k_rows)
+        .withColumn("_tgt", F.col("_chunk") + 1)
+        .withColumn("_ctx", F.lit(1))
+        .drop("_rn_end")
+    )
+    ctx = time_ctx.unionByName(row_ctx).dropDuplicates(
+        ["conv_id", "turn_idx", "ts", "_tgt"]
+    )
+    u = real.unionByName(ctx).drop("_bounds", "_chunk")
+
+    # ---- 4. local pass: one window over (conv, target-chunk)
+    w = Window.partitionBy("conv_id", "_tgt").orderBy("ts", "turn_idx")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_real = F.col("_ctx") == 0
+
+    u = u.withColumn("text_len", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("int"))
+    gap = (_us() - F.lag(_us()).over(w)).cast("double") / F.lit(1e6)
+    u = u.withColumn("lag1_ts_gap_s", gap)
+    u = u.withColumn(
+        "lag1_text_len_delta",
+        (F.col("text_len") - F.lag("text_len").over(w)).cast("double"),
+    )
+    # session boundary flags only meaningful on real rows; the first real
+    # row's lag reaches the true previous row (row-margin guarantees one),
+    # so the cross-chunk gap is detected locally.
+    u = u.withColumn(
+        "_sb", F.when(is_real & (F.col("lag1_ts_gap_s") > gap_s), 1).otherwise(0)
+    )
+    u = u.withColumn("_local_sid", F.sum("_sb").over(wcum).cast("int"))
+    wsid = Window.partitionBy("conv_id", "_tgt", "_local_sid").orderBy("ts", "turn_idx")
+    u = u.withColumn(
+        "_local_tis",
+        F.sum(F.when(is_real, 1).otherwise(0))
+        .over(wsid.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    u = u.withColumn(
+        "_local_backfill",
+        F.last(F.when(is_real, F.col("tool")), ignorenulls=True).over(wcum),
+    )
+    wrange = (
+        Window.partitionBy("conv_id", "_tgt").orderBy(_us()).rangeBetween(-margin_us, 0)
+    )
+    u = u.withColumn("rate_60s", F.count(F.lit(1)).over(wrange).cast("double"))
+    for r in ROLES:
+        u = u.withColumn(
+            f"_lc_{r}",
+            F.sum(F.when(is_real & (F.col("role") == r), 1).otherwise(0))
+            .over(wcum)
+            .cast("int"),
+        )
+    u = u.withColumn(
+        "roll_mean_text_len_5",
+        F.avg("text_len").over(w.rowsBetween(-(roll_rows - 1), Window.currentRow)),
+    )
+    local = u.filter(is_real).drop("_ctx", "_sb")
+
+    # ---- 5. stitch: per-chunk summary → exclusive prefix offsets
+    wchunk = Window.partitionBy("conv_id", "_tgt")
+    local = local.withColumn("_sid_max", F.max("_local_sid").over(wchunk))
+    summ = local.groupBy("conv_id", "_tgt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("_local_sid").alias("_sb_total"),
+        *[
+            F.sum(F.when(F.col("role") == r, 1).otherwise(0)).cast("int").alias(f"_c_{r}")
+            for r in ROLES
+        ],
+        # rows after the last session boundary (= all rows if none)
+        F.sum(F.when(F.col("_local_sid") == F.col("_sid_max"), 1).otherwise(0))
+        .cast("long")
+        .alias("_t_last"),
+        F.max_by("_local_backfill", F.struct(F.col("ts"), F.col("turn_idx"))).alias(
+            "_last_tool"
+        ),
+    )
+    wc = Window.partitionBy("conv_id").orderBy("_tgt")
+    wprev = wc.rowsBetween(Window.unboundedPreceding, -1)
+    summ = summ.withColumn("_S", F.coalesce(F.sum("_sb_total").over(wprev), F.lit(0)))
+    for r in ROLES:
+        summ = summ.withColumn(
+            f"_O_{r}", F.coalesce(F.sum(f"_c_{r}").over(wprev), F.lit(0))
+        )
+    summ = summ.withColumn("_carry", F.last("_last_tool", ignorenulls=True).over(wprev))
+    summ = summ.withColumn("_CN_prev", F.coalesce(F.sum("_n").over(wprev), F.lit(0)))
+    # last chunk before this one that contained a session boundary:
+    # T = rows since the most recent boundary at this chunk's start
+    summ = summ.withColumn("_CN", F.col("_CN_prev") + F.col("_n"))
+    last_b = F.last(
+        F.when(F.col("_sb_total") > 0, F.struct(F.col("_CN"), F.col("_t_last"))),
+        ignorenulls=True,
+    ).over(wprev)
+    summ = summ.withColumn(
+        "_T",
+        F.when(last_b.isNull(), F.col("_CN_prev")).otherwise(
+            F.col("_CN_prev") - last_b.getField("_CN") + last_b.getField("_t_last")
+        ),
+    ).select(
+        "conv_id",
+        "_tgt",
+        "_S",
+        "_T",
+        "_carry",
+        *[F.col(f"_O_{r}") for r in ROLES],
+    )
+
+    out = local.join(F.broadcast(summ), ["conv_id", "_tgt"])
+    out = out.withColumn("session_id", (F.col("_S") + F.col("_local_sid")).cast("int"))
+    out = out.withColumn(
+        "turn_in_session",
+        F.when(
+            F.col("_local_sid") == 0, (F.col("_T") + F.col("_local_tis")).cast("int")
+        ).otherwise(F.col("_local_tis")),
+    )
+    out = out.withColumn(
+        "tool_backfill", F.coalesce(F.col("_local_backfill"), F.col("_carry"))
+    )
+    for r in ROLES:
+        out = out.withColumn(
+            f"cum_count_{r}", (F.col(f"_O_{r}") + F.col(f"_lc_{r}")).cast("int")
+        )
+    return out.select(*KEY_COLS, *FEATURE_COLS)

@@ -1,0 +1,78 @@
+"""Resume audit (SURVEY.md §5): kill after partial commit, resume,
+verify committed buckets are NOT recomputed and the final table equals
+the uninterrupted run — mirrors the reference's pending-session
+checkpoint (src/pipeline/master.py:675-760)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from astrospectro_spark.engine.lineage import FeatureRun
+from astrospectro_spark.engine.windows import featurize_expr
+
+from .conftest import assert_frames_match
+
+SORT = ["conv_id", "ts", "turn_idx"]
+
+
+def test_kill_and_resume(spark, transcripts_sdf):
+    with tempfile.TemporaryDirectory() as base:
+        # uninterrupted reference run
+        ref = FeatureRun(spark, f"{base}/ref", n_buckets=8, run_id="ref")
+        stats = ref.run(transcripts_sdf)
+        assert stats["buckets_processed"] == 8
+
+        # killed mid-run after 4 bucket commits
+        killed = FeatureRun(spark, f"{base}/killed", n_buckets=8, run_id="r1")
+        with pytest.raises(RuntimeError, match="injected failure"):
+            killed.run(transcripts_sdf, fail_after=4)
+        assert len(killed.committed_buckets()) == 4
+
+        # resume: only the remaining 4 buckets run
+        resume = FeatureRun(spark, f"{base}/killed", n_buckets=8, run_id="r2")
+        stats2 = resume.run(transcripts_sdf)
+        assert stats2["buckets_skipped"] == 4
+        assert stats2["buckets_processed"] == 4
+
+        # exactly one lineage record per bucket → zero recompute
+        lin = resume.lineage().toPandas()
+        assert sorted(lin["bucket"]) == list(range(8))
+        assert (lin["status"] == "committed").all()
+        # first 4 commits carry the pre-kill run_id (not recomputed)
+        assert (lin["run_id"] == "r1").sum() == 4
+
+        # final output identical to the uninterrupted run
+        assert_frames_match(
+            resume.result().toPandas(), ref.result().toPandas(), SORT, rtol=0, atol=0
+        )
+        # per-bucket checksums match across independent runs
+        ref_sums = ref.lineage().toPandas().set_index("bucket")["checksum"].to_dict()
+        res_sums = lin.set_index("bucket")["checksum"].to_dict()
+        assert ref_sums == res_sums
+
+
+def test_rerun_is_noop(spark, transcripts_sdf):
+    with tempfile.TemporaryDirectory() as base:
+        r = FeatureRun(spark, f"{base}/x", n_buckets=4)
+        r.run(transcripts_sdf)
+        again = FeatureRun(spark, f"{base}/x", n_buckets=4)
+        stats = again.run(transcripts_sdf)
+        assert stats["buckets_processed"] == 0
+        assert stats["buckets_skipped"] == 4
+
+
+def test_featurizer_is_pluggable(spark, transcripts_sdf):
+    from astrospectro_spark.engine.skew import featurize_salted
+
+    with tempfile.TemporaryDirectory() as base:
+        r = FeatureRun(
+            spark,
+            f"{base}/s",
+            n_buckets=2,
+            featurizer=lambda df: featurize_salted(df, hot_threshold=50, chunk_target_rows=64),
+        )
+        r.run(transcripts_sdf)
+        plain = featurize_expr(transcripts_sdf).toPandas()
+        assert_frames_match(r.result().toPandas(), plain, SORT, rtol=0, atol=0)

@@ -1,0 +1,215 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all expression-only (JVM, codegen) except where noted:
+
+- :func:`exact_dup_groups` — hash-groupBy exact dedup (one shuffle on
+  the 32-hex-char hash, never on the text itself — at 100 TB the text
+  column stays in the scan stage and only the digest shuffles);
+- :func:`ngram_jaccard_pairs` — word n-gram shingle Jaccard between
+  candidate pairs (pairs bucketed by a cheap key to avoid O(n²));
+- :func:`minhash_lsh_candidates` — MinHash signatures (k permutations
+  via seeded xxhash64) + LSH banding: near-dup candidate pairs from
+  band-bucket joins, then exact-Jaccard verification. Scales as
+  O(n·k + candidate pairs), never O(n²);
+- :func:`simhash64` — 64-bit SimHash over token hashes (aggregate +
+  zip_with bit counters).
+
+MinHash/SimHash use Spark's xxhash64 so they have no cross-engine SQL
+oracle (driver records rows-only checks); exact + Jaccard tiers have
+full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from astrospectro_spark.functions.text import tokens
+
+
+def _norm_tokens(text_col: str) -> Column:
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+
+
+def shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text."""
+    toks = _norm_tokens(text_col)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups on the normalized-text fingerprint:
+    every doc mapped to its group's keeper (min id) + group size."""
+    from astrospectro_spark.functions.text import with_fingerprint
+
+    f = with_fingerprint(df, text_col).select(id_col, "fingerprint")
+    w = F.window  # noqa: F841 (documentation: no time windows here)
+    grp = f.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min(id_col).alias("keeper_id"),
+    )
+    return (
+        f.join(grp, "fingerprint")
+        .select(id_col, "fingerprint", "group_size", "keeper_id",
+                (F.col(id_col) != F.col("keeper_id")).alias("is_duplicate"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cols: tuple[str, ...] = ("lang", "source"),
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Jaccard similarity of word n-gram shingle sets between document
+    pairs sharing a cheap blocking key (≙ the reference's server-side
+    box prejoin + exact circular refilter,
+    src/tools/gaia_crossmatcher.py:285-343,426-432: coarse block first,
+    exact measure second)."""
+    d = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in bucket_cols],
+        shingles(text_col, n).alias("sh"),
+    )
+    a = d.select(
+        *[F.col(c) for c in bucket_cols],
+        F.col(id_col).alias("id_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    b = d.select(
+        *[F.col(c) for c in bucket_cols],
+        F.col(id_col).alias("id_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    pairs = a.join(b, list(bucket_cols)).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", *bucket_cols, "jaccard")
+    )
+
+
+def minhash_signature(text_col: str = "text", num_perm: int = 32, ngram: int = 3) -> Column:
+    """MinHash signature: k independent permutations simulated by
+    seeded xxhash64 over the shingle set (array of k BIGINT minima)."""
+    sh = shingles(text_col, ngram)
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(num_perm)),
+        lambda seed: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, seed))),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-dup detection.
+
+    signature → ``bands`` bands of ``num_perm/bands`` rows → band-hash
+    bucket join → candidate pairs → exact shingle-Jaccard verification.
+    The band join shuffles only (band_id, hash, id) — at 10^9 docs the
+    wide text column never reaches the shuffle.
+    """
+    rows_per_band = num_perm // bands
+    d = df.select(
+        F.col(id_col),
+        shingles(text_col, ngram).alias("sh"),
+        minhash_signature(text_col, num_perm, ngram).alias("sig"),
+    )
+    banded = d.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "sh", "band.band_id", "band.band_hash")
+
+    a = banded.select(
+        "band_id", "band_hash", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    b = banded.select(
+        "band_id", "band_hash", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    cand = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(text_col: str = "text") -> Column:
+    """64-bit SimHash: per-token xxhash64, per-bit +-1 vote, sign bits
+    packed into one BIGINT. Hamming distance between simhashes
+    approximates token-multiset similarity."""
+    toks = tokens(text_col)
+    votes = F.aggregate(
+        toks,
+        F.expr("array_repeat(0L, 64)"),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.when(F.getbit(F.xxhash64(t), b) == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                ),
+            ),
+            lambda x, y: x + y.cast("long"),
+        ),
+    )
+    # two's-complement power-of-two literals (bit 63 is the sign bit)
+    powers = F.array(
+        *[F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long") for b in range(64)]
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )

@@ -1,0 +1,132 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- :func:`cosine_topk` — brute-force cosine top-k: exact baseline.
+  Dot products run as JVM expressions (``aggregate``/``zip_with`` over
+  the arrays, double accumulation) inside a broadcast nested-loop join
+  of the (small) query set against the corpus — no Python, no UDF.
+- :func:`lsh_cosine_topk` — the scale path: random-hyperplane LSH.
+  Each vector gets a ``n_planes``-bit signature (hyperplanes derived
+  from seeded xxhash64 → deterministic, no stored model); candidates
+  share a signature bucket (multi-probe over ``n_tables`` independent
+  tables), exact cosine re-ranks inside buckets. At 10^9 vectors the
+  bucket join replaces the O(n·q) cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbours of each query vector (self
+    excluded). Queries broadcast; corpus scanned once."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_sim(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _signature(vec: Column, n_planes: int, table: int, dim: int) -> Column:
+    """Random-hyperplane signature: plane p's component j is derived
+    from xxhash64(table, p, j) mapped to {-1, +1} — deterministic,
+    seedable, and computable engine-side with zero stored state."""
+    bits = []
+    for p in range(n_planes):
+        comp = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j, p=p: F.when(
+                F.xxhash64(F.lit(table), F.lit(p), j).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, comp, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig.bitwiseOR(b)
+    return sig
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket in at least one
+    of ``n_tables`` hyperplane tables; exact cosine re-ranks candidates."""
+    def with_sigs(df, idname):
+        out = df.select(F.col(id_col).alias(idname), F.col(vec_col).alias(f"{idname}_v"))
+        sigs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    _signature(F.col(f"{idname}_v"), n_planes, t, dim).alias("sig"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return out.withColumn("b", F.explode(sigs)).select(
+            idname, f"{idname}_v", "b.table", "b.sig"
+        )
+
+    qs = with_sigs(queries, "query_id")
+    cs = with_sigs(corpus, "cand_id")
+    cand = (
+        cs.join(qs, ["table", "sig"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "cand_id"])
+        .withColumn(
+            "cosine", F.round(cosine_sim(F.col("query_id_v"), F.col("cand_id_v")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )

@@ -211,4 +211,145 @@ GROUP BY event_type
 SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
 FROM events GROUP BY event_type
 """,
+    "token_stats": r"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens, len(text)::BIGINT AS n_chars_measured,
+       CASE WHEN n_tokens > 0
+            THEN round(len(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE / n_tokens, 6)
+       END AS avg_token_len
+FROM base
+""",
+    "quality_score": r"""
+WITH base AS (
+  SELECT doc_id, text,
+         greatest(len(text), 1)::DOUBLE AS l,
+         ' ' || lower(text) || ' ' AS padded,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+  FROM documents
+), ratios AS (
+  SELECT doc_id, n_tok,
+         (len(text) - len(regexp_replace(text, '[\.,;:!\?]', '', 'g'))) / l AS punct,
+         (len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))) / l AS digit,
+         (len(text) - len(regexp_replace(text, '[A-Z]', '', 'g'))) / l AS upper_r,
+         ( (len(padded) - len(replace(padded, ' the ', ''))) / 5.0
+         + (len(padded) - len(replace(padded, ' a ', ''))) / 3.0
+         + (len(padded) - len(replace(padded, ' and ', ''))) / 5.0
+         + (len(padded) - len(replace(padded, ' of ', ''))) / 4.0
+         + (len(padded) - len(replace(padded, ' to ', ''))) / 4.0
+         + (len(padded) - len(replace(padded, ' in ', ''))) / 4.0
+         + (len(padded) - len(replace(padded, ' is ', ''))) / 4.0
+         + (len(padded) - len(replace(padded, ' it ', ''))) / 4.0 ) AS sw_hits
+  FROM base
+)
+SELECT doc_id,
+       round(punct, 6) AS punct_ratio,
+       round(digit, 6) AS digit_ratio,
+       round(upper_r, 6) AS upper_ratio,
+       round(CASE WHEN n_tok > 0 THEN sw_hits / n_tok ELSE 0.0 END, 6) AS stopword_ratio,
+       round(least(1.0 - least(punct * 4, 0.25) - least(digit * 4, 0.25)
+             + least(CASE WHEN n_tok > 0 THEN sw_hits / n_tok ELSE 0.0 END, 0.25), 1.0), 6)
+         AS quality_score
+FROM ratios
+""",
+    "lang_id": """
+WITH pad AS (
+  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents
+), scores AS (
+  SELECT doc_id, lang,
+    ((len(p)-len(replace(p,' der ','')))/5.0 + (len(p)-len(replace(p,' die ','')))/5.0
+     + (len(p)-len(replace(p,' und ','')))/5.0 + (len(p)-len(replace(p,' das ','')))/5.0) AS s_de,
+    ((len(p)-len(replace(p,' the ','')))/5.0 + (len(p)-len(replace(p,' and ','')))/5.0
+     + (len(p)-len(replace(p,' of ','')))/4.0 + (len(p)-len(replace(p,' a ','')))/3.0) AS s_en,
+    ((len(p)-len(replace(p,' el ','')))/4.0 + (len(p)-len(replace(p,' los ','')))/5.0
+     + (len(p)-len(replace(p,' que ','')))/5.0 + (len(p)-len(replace(p,' y ','')))/3.0) AS s_es,
+    ((len(p)-len(replace(p,' le ','')))/4.0 + (len(p)-len(replace(p,' la ','')))/4.0
+     + (len(p)-len(replace(p,' et ','')))/4.0 + (len(p)-len(replace(p,' les ','')))/5.0) AS s_fr,
+    ((len(p)-len(replace(p,' 的 ','')))/3.0 + (len(p)-len(replace(p,' 是 ','')))/3.0
+     + (len(p)-len(replace(p,' 了 ','')))/3.0 + (len(p)-len(replace(p,' 在 ','')))/3.0) AS s_zh
+  FROM pad
+)
+SELECT doc_id,
+       CASE WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+            WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+            WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+            WHEN s_en >= s_de THEN 'en'
+            ELSE 'de' END AS pred_lang,
+       round(greatest(s_de, s_en, s_es, s_fr, s_zh), 6) AS lang_score,
+       (CASE WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+            WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+            WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+            WHEN s_en >= s_de THEN 'en'
+            ELSE 'de' END) = lang AS is_match
+FROM scores
+""",
+    "dedup_exact": r"""
+WITH f AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+), g AS (
+  SELECT fingerprint, count(*) AS group_size, min(doc_id) AS keeper_id
+  FROM f GROUP BY fingerprint
+)
+SELECT f.doc_id, f.fingerprint, g.group_size, g.keeper_id,
+       f.doc_id <> g.keeper_id AS is_duplicate
+FROM f JOIN g USING (fingerprint)
+""",
+    "fingerprint_stats": r"""
+SELECT source,
+       count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_fingerprints,
+       count(*) AS n_docs
+FROM documents GROUP BY source
+""",
+    "ngram_jaccard": r"""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS lang, a.source AS source,
+         round(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+               THEN len(list_intersect(a.s, b.s))::DOUBLE
+                    / len(list_distinct(list_concat(a.s, b.s)))
+               ELSE 0.0 END, 6) AS jaccard
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, lang, source, jaccard FROM pairs WHERE jaccard >= 0.2
+""",
+    "cosine_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+), s AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         round(
+           list_sum(list_transform(range(1, len(c.embedding) + 1),
+                                   i -> q.qv[i]::DOUBLE * c.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                                           i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+                                             i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))),
+           6) AS cosine
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, cand_id, cosine, rank FROM r WHERE rank <= 5
+""",
 }

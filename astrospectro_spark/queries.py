@@ -380,6 +380,106 @@ def q_distinct_counts(spark, sf_dir):
     )
 
 
+# ================================================================
+# Training-data pipeline operators (documents / embeddings tables)
+# ================================================================
+
+
+def q_token_stats(spark, sf_dir):
+    """whitespace token counting + char stats (text analysis)."""
+    from astrospectro_spark.functions.text import with_token_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return with_token_stats(d).select("doc_id", "n_tokens", "n_chars_measured", "avg_token_len")
+
+
+def q_quality_score(spark, sf_dir):
+    """punct/digit/upper/stopword ratios → composite quality score."""
+    from astrospectro_spark.functions.text import with_quality
+
+    d = _t(spark, sf_dir, "documents")
+    return with_quality(d).select(
+        "doc_id", "punct_ratio", "digit_ratio", "upper_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """marker-word language-ID heuristic + accuracy vs labelled lang."""
+    from astrospectro_spark.functions.text import with_lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    out = with_lang_id(d)
+    return out.select(
+        "doc_id",
+        "pred_lang",
+        "lang_score",
+        (F.col("pred_lang") == F.col("lang")).alias("is_match"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """exact dedup via normalized-text fingerprint hash-groupBy."""
+    from astrospectro_spark.functions.dedup import exact_dup_groups
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dup_groups(d)
+
+
+def q_fingerprint_stats(spark, sf_dir):
+    """distinct fingerprints per source (document fingerprinting)."""
+    from astrospectro_spark.functions.text import with_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        with_fingerprint(d)
+        .groupBy("source")
+        .agg(
+            F.countDistinct("fingerprint").alias("n_fingerprints"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """word-3gram Jaccard near-dup pairs within (lang, source) blocks."""
+    from astrospectro_spark.functions.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.2)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (xxhash64-based → rows-only check)."""
+    from astrospectro_spark.functions.dedup import minhash_lsh_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, verify_threshold=0.3)
+
+
+def q_simhash(spark, sf_dir):
+    """64-bit SimHash per document (xxhash64-based → rows-only check)."""
+    from astrospectro_spark.functions.dedup import simhash64
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64("text").alias("simhash"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    """brute-force cosine top-5 neighbours for the first 10 vectors."""
+    from astrospectro_spark.functions.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(e.filter(F.col("vec_id") < 10), e, k=5)
+
+
+def q_cosine_topk_lsh(spark, sf_dir):
+    """random-hyperplane LSH ANN (xxhash64-based → rows-only check)."""
+    from astrospectro_spark.functions.similarity import lsh_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(e.filter(F.col("vec_id") < 10), e, k=5)
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_delta": q_lag_delta,
@@ -402,4 +502,14 @@ QUERIES = {
     "regression_slope": q_regression_slope,
     "winsorize": q_winsorize,
     "distinct_counts": q_distinct_counts,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "dedup_exact": q_dedup_exact,
+    "fingerprint_stats": q_fingerprint_stats,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "cosine_topk": q_cosine_topk,
+    "cosine_topk_lsh": q_cosine_topk_lsh,
 }

@@ -64,6 +64,8 @@ SCALES = {
     "sf0.001": {"n_convs": 200, "total_turns": 6_000},
     "sf0.01": {"n_convs": 1_500, "total_turns": 60_000},
     "sf0.1": {"n_convs": 10_000, "total_turns": 600_000},
+    # scaling-efficiency runs (compute must dominate fixed overhead)
+    "sf1": {"n_convs": 50_000, "total_turns": 6_000_000},
 }
 
 _T0 = np.datetime64("2025-01-01T00:00:00", "us")
@@ -98,25 +100,20 @@ def _conv_lengths(rng: np.random.Generator, n_convs: int, total_turns: int) -> n
 
 
 def _gen_text(rng: np.random.Generator, n: int) -> list[str]:
-    """Variable-length pseudo-text, log-normal 0–2000 chars; ~3% empty."""
+    """Variable-length pseudo-text, log-normal 0–2000 chars; ~3% empty.
+
+    Vectorised: texts are random slices of one shared deterministic
+    word stream (a per-text word loop would be O(total chars) Python
+    iterations — minutes at the 6M-turn scale)."""
     target_len = np.exp(rng.normal(4.0, 1.2, size=n)).clip(0, 2000).astype(np.int64)
     target_len[rng.random(n) < 0.03] = 0
-    out: list[str] = []
-    widx = rng.integers(0, len(_WORDS), size=int(target_len.sum() // 4 + n + 16))
-    pos = 0
-    for tl in target_len:
-        if tl == 0:
-            out.append("")
-            continue
-        parts: list[str] = []
-        ln = 0
-        while ln < tl:
-            w = _WORDS[widx[pos % len(widx)]]
-            pos += 1
-            parts.append(w)
-            ln += len(w) + 1
-        out.append(" ".join(parts)[: int(tl)])
-    return out
+    widx = rng.integers(0, len(_WORDS), size=500_000)
+    stream = " ".join(_WORDS[i] for i in widx)
+    starts = rng.integers(0, max(1, len(stream) - 2001), size=n)
+    return [
+        stream[s : s + tl] if tl > 0 else ""
+        for s, tl in zip(starts.tolist(), target_len.tolist())
+    ]
 
 
 def generate_transcripts(scale: str = "sf0.01", seed: int = SEED) -> pd.DataFrame:
@@ -203,31 +200,31 @@ def generate_anchors(
     """As-of probe table (FIXTURES.md §2): exact-ts, between-turn,
     before-first and after-last anchors, plus ~5% unmatched conv_ids."""
     rng = np.random.default_rng(seed)
-    convs = transcripts["conv_id"].unique()
     n_anchors = n_anchors or max(50, len(transcripts) // 20)
-    pick_conv = rng.choice(convs, size=n_anchors)
+    # vectorised: sample row indices, then derive the four anchor kinds
+    # from each sampled row's conversation bounds.
+    idx = rng.integers(0, len(transcripts), size=n_anchors)
+    pick = transcripts.iloc[idx]
+    pick_conv = pick["conv_id"].to_numpy()
+    exact_us = pick["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
     g = transcripts.groupby("conv_id")["ts"]
-    tmin = g.min()
-    tmax = g.max()
+    tmin = g.min().astype("datetime64[us]").astype(np.int64)
+    tmax = g.max().astype("datetime64[us]").astype(np.int64)
+    lo = tmin.loc[pick_conv].to_numpy()
+    hi = tmax.loc[pick_conv].to_numpy()
     kind = rng.integers(0, 4, size=n_anchors)
-    ts_list = []
-    for i, c in enumerate(pick_conv):
-        lo, hi = tmin[c], tmax[c]
-        if kind[i] == 0:  # exact turn ts → boundary-inclusion test
-            sub = transcripts.loc[transcripts["conv_id"] == c, "ts"]
-            ts_list.append(sub.iloc[int(rng.integers(0, len(sub)))])
-        elif kind[i] == 1:  # between turns
-            frac = rng.random()
-            ts_list.append(lo + (hi - lo) * frac)
-        elif kind[i] == 2:  # before first turn → empty lookback, NULLs
-            ts_list.append(lo - pd.Timedelta(seconds=float(rng.integers(1, 3600))))
-        else:  # after last turn
-            ts_list.append(hi + pd.Timedelta(seconds=float(rng.integers(1, 3600))))
+    frac = rng.random(n_anchors)
+    off = rng.integers(1, 3600, size=n_anchors) * 1_000_000
+    ts_us = np.select(
+        [kind == 0, kind == 1, kind == 2],
+        [exact_us, lo + ((hi - lo) * frac).astype(np.int64), lo - off],
+        default=hi + off,
+    )
     df = pd.DataFrame(
         {
             "conv_id": pd.array(pick_conv, dtype="string"),
             "anchor_id": np.arange(n_anchors, dtype=np.int64),
-            "anchor_ts": pd.Series(ts_list).astype("datetime64[us]"),
+            "anchor_ts": pd.Series(ts_us.astype("datetime64[us]")),
             "tolerance_s": rng.integers(30, 7200, size=n_anchors).astype(np.int32),
         }
     )

@@ -1,0 +1,144 @@
+"""Training-data pipeline functions: dedup tiers, similarity search,
+text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s1"),
+        (1, "the quick brown fox jumps over the lazy cat", "en", "s1"),  # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog", "en", "s1"),  # exact dup of 0
+        (3, "completely different text about spark engines", "en", "s1"),
+        (4, "le renard brun rapide et le chien paresseux", "fr", "s1"),
+        (5, "", "en", "s2"),
+        (6, "  THE   Quick  Brown Fox jumps over the lazy dog ", "en", "s1"),  # norm-dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_exact_dedup_normalizes_whitespace_and_case(spark, docs):
+    from astrospectro_spark.functions.dedup import exact_dup_groups
+
+    out = exact_dup_groups(docs).toPandas().set_index("doc_id")
+    assert out.loc[2, "keeper_id"] == 0 and out.loc[2, "is_duplicate"]
+    assert out.loc[6, "keeper_id"] == 0 and out.loc[6, "is_duplicate"]
+    assert out.loc[0, "group_size"] == 3 and not out.loc[0, "is_duplicate"]
+    assert not out.loc[1, "is_duplicate"]
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    from astrospectro_spark.functions.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+    pairs = set(zip(out.id_a, out.id_b))
+    assert (0, 1) in pairs  # one word differs → high shingle overlap
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_recovers_exact_and_near_dups(spark, docs):
+    from astrospectro_spark.functions.dedup import minhash_lsh_candidates
+
+    out = minhash_lsh_candidates(docs, verify_threshold=0.5).toPandas()
+    pairs = set(zip(out.id_a, out.id_b))
+    assert (0, 2) in pairs  # exact dup always collides
+    assert all(j >= 0.5 for j in out.jaccard)
+
+
+def test_simhash_hamming_close_for_near_dups(spark, docs):
+    from astrospectro_spark.functions.dedup import simhash64
+
+    out = (
+        docs.filter(F.col("doc_id").isin(0, 1, 2, 3))
+        .select("doc_id", simhash64("text").alias("h"))
+        .toPandas()
+        .set_index("doc_id")["h"]
+    )
+    def ham(a, b):
+        return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+
+    assert ham(out[0], out[2]) == 0  # identical text
+    assert ham(out[0], out[1]) < ham(out[0], out[3])
+
+
+def test_cosine_topk_exact(spark):
+    from astrospectro_spark.functions.similarity import cosine_topk
+
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(30, 8)).astype(np.float32)
+    vecs[7] = vecs[3] * 2.0  # same direction as 3 → cosine 1
+    pdf = pd.DataFrame({"vec_id": range(30), "embedding": [v.tolist() for v in vecs]})
+    sdf = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    out = cosine_topk(sdf.filter("vec_id = 3"), sdf, k=3).toPandas()
+    assert out.iloc[0]["cand_id"] == 7 and out.iloc[0]["cosine"] == pytest.approx(1.0)
+    # oracle: numpy cosine, same top-3
+    sims = vecs @ vecs[3] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[3]))
+    sims[3] = -np.inf
+    want = set(np.argsort(-sims)[:3].tolist())
+    assert set(out["cand_id"]) == want
+
+
+def test_lsh_topk_subset_of_exact_scores(spark):
+    from astrospectro_spark.functions.similarity import cosine_topk, lsh_cosine_topk
+
+    rng = np.random.default_rng(1)
+    vecs = rng.normal(size=(60, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(60), "embedding": [v.tolist() for v in vecs]})
+    sdf = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    q = sdf.filter("vec_id < 3")
+    exact = cosine_topk(q, sdf, k=60).toPandas()
+    approx = lsh_cosine_topk(q, sdf, k=5, n_planes=4, n_tables=6, dim=16).toPandas()
+    assert len(approx) > 0
+    # every approx (query, cand, cosine) must agree with the exact scores
+    key = exact.set_index(["query_id", "cand_id"])["cosine"]
+    for r in approx.itertuples():
+        assert key.loc[(r.query_id, r.cand_id)] == pytest.approx(r.cosine)
+
+
+def test_multimodal_plumbing(spark):
+    from astrospectro_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        synth_media,
+    )
+
+    media = spark.createDataFrame(synth_media(48), MEDIA_SCHEMA).repartition(7)
+    out = extract_media_features(media).toPandas()
+    assert len(out) == 48
+    assert set(out["kind"]) == {"image", "audio", "video"}
+    assert out["sha1"].nunique() == 48
+    img = out[out["kind"] == "image"]
+    assert (img["thumb_w"] == 16).all() and (img["n_frames_sampled"] == 1).all()
+    vid = out[out["kind"] == "video"]
+    assert (vid["n_frames_sampled"] >= 1).all()
+    # determinism across partitionings
+    out2 = extract_media_features(media.repartition(3)).toPandas()
+    a = out.sort_values("media_id").reset_index(drop=True)
+    b = out2.sort_values("media_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_real_decoder_is_explicitly_stubbed():
+    from astrospectro_spark.functions.multimodal import _decode_real
+
+    with pytest.raises(NotImplementedError):
+        _decode_real(b"\x00", "image")
+
+
+def test_lang_id_and_quality(spark, docs):
+    from astrospectro_spark.functions.text import with_lang_id, with_quality, with_token_stats
+
+    out = with_lang_id(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "pred_lang"] == "en"
+    assert out.loc[4, "pred_lang"] == "fr"
+    ts = with_token_stats(docs).toPandas().set_index("doc_id")
+    assert ts.loc[0, "n_tokens"] == 9
+    assert ts.loc[5, "n_tokens"] == 0 and pd.isna(ts.loc[5, "avg_token_len"])
+    q = with_quality(docs).toPandas().set_index("doc_id")
+    assert 0 <= q.loc[0, "stopword_ratio"] <= 1

@@ -1,0 +1,75 @@
+"""The production entrypoint: resumable transcript featurization.
+
+Ships as ``spark-submit --py-files astrospectro_spark.zip -m`` style
+(north_rule packaging):
+
+    spark-submit --py-files astrospectro_spark.zip \\
+        featurize_job.py --input /data/transcripts.parquet \\
+        --output /data/features --buckets 64 \\
+        [--anchors /data/anchors.parquet] [--resume] \\
+        [--hot-threshold 2000000] [--chunk-rows 500000]
+
+On a cluster nothing changes except ``--master``: the engine is pure
+DataFrame API, the lineage table gives kill-resume, the skew engine
+handles mega-conversations, and AQE does runtime re-planning.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="astrospectro_spark featurize job")
+    p.add_argument("--input", required=True, help="transcripts parquet path")
+    p.add_argument("--output", required=True, help="output directory (features + lineage)")
+    p.add_argument("--anchors", help="optional anchors parquet for the as-of join")
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--run-id", default="run-0")
+    p.add_argument("--hot-threshold", type=int, default=2_000_000)
+    p.add_argument("--chunk-rows", type=int, default=500_000)
+    p.add_argument("--master", default=None)
+    p.add_argument("--gap-s", type=float, default=1800.0)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from astrospectro_spark.engine.asof import asof_join
+    from astrospectro_spark.engine.lineage import FeatureRun
+    from astrospectro_spark.engine.skew import featurize_salted
+    from astrospectro_spark.session import get_spark
+
+    spark = get_spark(app_name="featurize_job", master=args.master)
+    turns = spark.read.parquet(args.input)
+
+    def featurizer(df):
+        return featurize_salted(
+            df,
+            gap_s=args.gap_s,
+            hot_threshold=args.hot_threshold,
+            chunk_target_rows=args.chunk_rows,
+        )
+
+    run = FeatureRun(
+        spark,
+        args.output,
+        n_buckets=args.buckets,
+        featurizer=featurizer,
+        run_id=args.run_id,
+    )
+    stats = run.run(turns)
+    print(f"featurize: {stats}")
+
+    if args.anchors:
+        anchors = spark.read.parquet(args.anchors)
+        out = asof_join(turns, anchors, tolerance_col="tolerance_s")
+        out.write.mode("overwrite").parquet(f"{args.output}/asof")
+        print(f"asof: {out.count()} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -211,6 +211,67 @@ GROUP BY event_type
 SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
 FROM events GROUP BY event_type
 """,
+    "trapezoid_auc": """
+WITH seg AS (
+  SELECT user_id,
+         (value + lag(value) OVER w) / 2
+           * (epoch_us(ts)::DOUBLE / 1e6 - lag(epoch_us(ts)::DOUBLE / 1e6) OVER w) AS s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, round(sum(s), 4) AS auc_trapezoid, count(*) AS n
+FROM seg GROUP BY user_id
+""",
+    "moments": """
+WITH g AS (
+  SELECT user_id, count(*)::DOUBLE AS n,
+         avg(value) AS m1, avg(value*value) AS m2,
+         avg(value*value*value) AS m3, avg(value*value*value*value) AS m4
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       round(sqrt(m2 - m1*m1), 5) AS std_pop,
+       round((m3 - 3*m1*m2 + 2*m1*m1*m1) / pow(m2 - m1*m1, 1.5), 5) AS skewness_pop,
+       round((m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*m1*m1*m1*m1) / pow(m2 - m1*m1, 2) - 3, 5)
+         AS kurtosis_excess
+FROM g
+""",
+    "argmax_position": """
+WITH r AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rmx,
+         row_number() OVER (PARTITION BY user_id ORDER BY value ASC, event_id DESC) AS rmn
+  FROM events
+)
+SELECT user_id,
+       max(CASE WHEN rmx = 1 THEN event_id END) AS argmax_event_id,
+       max(CASE WHEN rmn = 1 THEN event_id END) AS argmin_event_id,
+       round(max(value), 6) AS max_value,
+       round(min(value), 6) AS min_value
+FROM r GROUP BY user_id
+""",
+    "pivot_avg": """
+SELECT user_id,
+       round(avg(CASE WHEN event_type = 'click'    THEN value END), 6) AS avg_click,
+       round(avg(CASE WHEN event_type = 'view'     THEN value END), 6) AS avg_view,
+       round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS avg_purchase,
+       round(avg(CASE WHEN event_type = 'signup'   THEN value END), 6) AS avg_signup,
+       round(avg(CASE WHEN event_type = 'error'    THEN value END), 6) AS avg_error
+FROM events GROUP BY user_id
+""",
+    "union_dedup": """
+SELECT o_custkey AS custkey FROM orders
+UNION
+SELECT c_custkey AS custkey FROM customer
+""",
+    "json_extract": """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_k
+FROM events GROUP BY event_type
+""",
     "token_stats": r"""
 WITH base AS (
   SELECT doc_id, text,

@@ -380,6 +380,99 @@ def q_distinct_counts(spark, sf_dir):
     )
 
 
+def q_trapezoid_auc(spark, sf_dir):
+    """trapezoid integral of value over the time axis per entity
+    (SURVEY §2.5 W5 — equivalent-width windowed integral,
+    src/pipeline/feature_engineering.py:411-441: trapezoid = sum of
+    (y_i + y_{i-1})/2 * dt)."""
+    ev = _t(spark, sf_dir, "events")
+    w = _W()
+    x = _us().cast("double") / 1e6
+    seg = (F.col("value") + F.lag("value").over(w)) / 2 * (x - F.lag(x).over(w))
+    return (
+        ev.withColumn("_seg", seg)
+        .groupBy("user_id")
+        .agg(F.round(F.sum("_seg"), 4).alias("auc_trapezoid"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_moments(spark, sf_dir):
+    """distribution-shape moments per entity via explicit raw-moment
+    sums (SURVEY §2.5 W7 line-profile morphology: skew/kurtosis),
+    engine-agnostic formulas so the oracle matches exactly."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    g = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(v).alias("m1"),
+        F.avg(v * v).alias("m2"),
+        F.avg(v * v * v).alias("m3"),
+        F.avg(v * v * v * v).alias("m4"),
+    )
+    var = F.col("m2") - F.col("m1") ** 2
+    mu3 = F.col("m3") - 3 * F.col("m1") * F.col("m2") + 2 * F.col("m1") ** 3
+    mu4 = (
+        F.col("m4")
+        - 4 * F.col("m1") * F.col("m3")
+        + 6 * F.col("m1") ** 2 * F.col("m2")
+        - 3 * F.col("m1") ** 4
+    )
+    return g.select(
+        "user_id",
+        F.round(F.sqrt(var), 5).alias("std_pop"),
+        F.round(mu3 / var ** 1.5, 5).alias("skewness_pop"),
+        F.round(mu4 / var ** 2 - 3, 5).alias("kurtosis_excess"),
+    )
+
+
+def q_argmax_position(spark, sf_dir):
+    """argmax/argmin position (SURVEY §2.5 W8 — wavelength of flux max,
+    src/pipeline/feature_engineering.py:752-754) via max_by/min_by."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.expr("max_by(event_id, struct(value, event_id))").alias("argmax_event_id"),
+        F.expr("min_by(event_id, struct(value, -event_id))").alias("argmin_event_id"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+    )
+
+
+def q_pivot_avg(spark, sf_dir):
+    """pivot event_type → columns (SURVEY §2.4 A8 per-class transform
+    shape)."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.avg("value"))
+    )
+    return out.select(
+        "user_id",
+        *[F.round(F.col(t), 6).alias(f"avg_{t}") for t in ("click", "view", "purchase", "signup", "error")],
+    )
+
+
+def q_union_dedup(spark, sf_dir):
+    """vertical union + distinct (SURVEY §2.7 U2/U3)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    a = o.select(F.col("o_custkey").alias("custkey"))
+    b = c.select(F.col("c_custkey").alias("custkey"))
+    return a.unionByName(b).distinct()
+
+
+def q_json_extract(spark, sf_dir):
+    """JSON field extraction from the props column (scalar-function
+    surface; the graft's C-group analog)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.sum(F.when(k.isNull(), 1).otherwise(0)).cast("long").alias("n_null_k"),
+    )
+
+
 # ================================================================
 # Training-data pipeline operators (documents / embeddings tables)
 # ================================================================
@@ -502,6 +595,12 @@ QUERIES = {
     "regression_slope": q_regression_slope,
     "winsorize": q_winsorize,
     "distinct_counts": q_distinct_counts,
+    "trapezoid_auc": q_trapezoid_auc,
+    "moments": q_moments,
+    "argmax_position": q_argmax_position,
+    "pivot_avg": q_pivot_avg,
+    "union_dedup": q_union_dedup,
+    "json_extract": q_json_extract,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,

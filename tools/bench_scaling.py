@@ -31,8 +31,11 @@ from astrospectro_spark.engine.skew import featurize_salted
 from astrospectro_spark.engine.asof import asof_join
 
 cpus = int(sys.argv[1]); syn = sys.argv[2]
+# identical confs at both levels except thread count: same shuffle
+# partitioning (task granularity), same heap — only parallelism varies.
 spark = get_spark(app_name=f"scale{{cpus}}", master=f"local[{{cpus}}]",
-                  shuffle_partitions=max(cpus * 2, 16))
+                  shuffle_partitions=128,
+                  extra_conf={{"spark.driver.memory": "48g"}})
 turns = spark.read.parquet(os.path.join(syn, "transcripts.parquet"))
 anchors = spark.read.parquet(os.path.join(syn, "anchors.parquet"))
 n = turns.count()
@@ -70,6 +73,22 @@ def run_level(cpus: int, syn: str) -> dict:
     raise RuntimeError(f"no RESULT from cpus={cpus}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
+def run_level_repeated(cpus: int, syn: str, reps: int) -> dict:
+    """Best-of-reps across FRESH JVMs — the sandbox host shows
+    intermittent CPU steal (identical runs varying 0.75s..23s), so a
+    single measurement per level is meaningless. min() is the standard
+    noise-robust estimator for throughput capability."""
+    best: dict | None = None
+    for _ in range(reps):
+        r = run_level(cpus, syn)
+        if best is None:
+            best = r
+        else:
+            for k, v in r["secs"].items():
+                best["secs"][k] = min(best["secs"][k], v)
+    return best
+
+
 def main():
     scale = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "sf1"
     sys.path.insert(0, REPO)
@@ -80,9 +99,20 @@ def main():
         print(f"generating {scale} synth ...", flush=True)
         synth.write_scale(syn, scale)
 
-    lo = run_level(8, syn)
+    reps = 3
+    # alternate levels so a noise episode hits both sides equally
+    lo = hi = None
+    for i in range(reps):
+        l1 = run_level(8, syn)
+        h1 = run_level(32, syn)
+        print(f"rep {i}: local[8]={l1['secs']} local[32]={h1['secs']}", flush=True)
+        if lo is None:
+            lo, hi = l1, h1
+        else:
+            for k in l1["secs"]:
+                lo["secs"][k] = min(lo["secs"][k], l1["secs"][k])
+                hi["secs"][k] = min(hi["secs"][k], h1["secs"][k])
     print("local[8]:", lo, flush=True)
-    hi = run_level(32, syn)
     print("local[32]:", hi, flush=True)
 
     n = hi["n_turns"]

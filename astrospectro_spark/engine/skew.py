@@ -67,9 +67,18 @@ def featurize_salted(
     roll_rows: int = ROLL_ROWS,
     hot_threshold: int = DEFAULT_HOT_THRESHOLD,
     chunk_target_rows: int = DEFAULT_CHUNK_TARGET,
+    persist_hot: bool = True,
 ) -> DataFrame:
     """featurize_expr semantics with hot conversations split into
-    ts-range chunks that run as parallel tasks."""
+    ts-range chunks that run as parallel tasks.
+
+    ``persist_hot`` caches the hot slice after chunk assignment: the
+    salted plan consumes it three times (real rows + two context-copy
+    branches) and without a persist each consumer re-scans and
+    re-decompresses the source (string decode dominates CPU). The hot
+    slice is by definition a bounded fraction of the table (the skewed
+    conversations), so MEMORY_AND_DISK is safe at scale.
+    """
     census = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_n"))
     hot_census = census.filter(F.col("_n") > hot_threshold)
 
@@ -86,6 +95,7 @@ def featurize_salted(
         rate_window_s=rate_window_s,
         roll_rows=roll_rows,
         chunk_target_rows=chunk_target_rows,
+        persist_hot=persist_hot,
     )
     return cold_out.unionByName(hot_out)
 
@@ -97,6 +107,7 @@ def _featurize_hot(
     rate_window_s: int,
     roll_rows: int,
     chunk_target_rows: int,
+    persist_hot: bool = True,
 ) -> DataFrame:
     k_rows = roll_rows - 1  # row-lookback margin
     margin_us = rate_window_s * 1_000_000
@@ -154,6 +165,8 @@ def _featurize_hot(
         lambda acc, b: acc + F.when(us >= b, 1).otherwise(0),
     )
     hot = hot.withColumn("_chunk", chunk_id)
+    if persist_hot:
+        hot = hot.persist()
 
     # ---- 3. overlap margin: copy context rows into later chunks
     real = hot.withColumn("_ctx", F.lit(0)).withColumn("_tgt", F.col("_chunk"))

@@ -211,6 +211,29 @@ GROUP BY event_type
 SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
 FROM events GROUP BY event_type
 """,
+    "median_normalize": """
+WITH med AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS m FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id,
+       round(CASE WHEN m > 0 THEN e.value / m ELSE e.value END, 6) AS value_norm
+FROM events e JOIN med USING (user_id)
+""",
+    "embedding_neardup": """
+WITH s AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+                                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                                           i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                                             i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))),
+           6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.3
+""",
     "trapezoid_auc": """
 WITH seg AS (
   SELECT user_id,

@@ -473,9 +473,50 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+def q_median_normalize(spark, sf_dir):
+    """per-entity exact-median normalization (SURVEY §2.4 A1 —
+    flux / median(flux) with non-positive guard,
+    src/pipeline/preprocessor.py:136-169)."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("_med")
+    )
+    return (
+        ev.join(F.broadcast(med), "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(
+                F.when(F.col("_med") > 0, F.col("value") / F.col("_med")).otherwise(
+                    F.col("value")
+                ),
+                6,
+            ).alias("value_norm"),
+        )
+    )
+
+
 # ================================================================
 # Training-data pipeline operators (documents / embeddings tables)
 # ================================================================
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """embedding-cosine near-duplicate pairs (dedup tier 5): all pairs
+    with cosine >= threshold — brute force here; the LSH path
+    (cosine_topk_lsh) is the same measure at scale."""
+    from astrospectro_spark.functions.similarity import cosine_sim
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_sim(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= 0.3)
+        .select("id_a", "id_b", "cosine")
+    )
 
 
 def q_token_stats(spark, sf_dir):
@@ -595,6 +636,8 @@ QUERIES = {
     "regression_slope": q_regression_slope,
     "winsorize": q_winsorize,
     "distinct_counts": q_distinct_counts,
+    "median_normalize": q_median_normalize,
+    "embedding_neardup": q_embedding_neardup,
     "trapezoid_auc": q_trapezoid_auc,
     "moments": q_moments,
     "argmax_position": q_argmax_position,

@@ -274,7 +274,13 @@ def write_scale(out_dir: str, scale: str = "sf0.01", seed: int = SEED) -> dict[s
     paths = {}
     for name, df in [("transcripts", tr), ("anchors", an), ("ref_events", re_)]:
         p = os.path.join(out_dir, f"{name}.parquet")
-        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), p)
+        # small row groups: Spark's scan parallelism on a single parquet
+        # file is bounded by row-group count — 1M-row defaults cap a 6M-row
+        # table at ~6 scan tasks and serialise the whole pipeline on
+        # decode. 100k-row groups give 60-way splittable scans.
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False), p, row_group_size=100_000
+        )
         paths[name] = p
     return paths
 

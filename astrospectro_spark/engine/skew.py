@@ -100,32 +100,24 @@ def featurize_salted(
     return cold_out.unionByName(hot_out)
 
 
-def _featurize_hot(
-    hot: DataFrame,
-    hot_census: DataFrame,
-    gap_s: float,
-    rate_window_s: int,
-    roll_rows: int,
-    chunk_target_rows: int,
-    persist_hot: bool = True,
-) -> DataFrame:
-    k_rows = roll_rows - 1  # row-lookback margin
-    margin_us = rate_window_s * 1_000_000
+GRID = 128
 
-    # ---- 2. range salting: ts-quantile boundaries per hot conv.
-    # percentile_approx needs foldable fractions, so compute a fixed
-    # GRID-point quantile grid per conv, then select every (n/target)-th
-    # grid point. Boundaries are actual data values, so after
-    # array_distinct every interior chunk holds >= 1 row (its boundary
-    # row); parallelism per conversation is capped at GRID tasks.
-    GRID = 128
+
+def compute_ts_bounds(
+    df: DataFrame, chunk_target_rows: int, ts_col: str = "ts", entity_col: str = "conv_id"
+) -> DataFrame:
+    """Per-entity ts-range chunk boundaries: a fixed GRID-point
+    approx-quantile grid, subsampled to ceil(n/target) chunks.
+    Boundaries are actual data values, so after array_distinct every
+    interior chunk holds >= 1 row; parallelism per entity caps at GRID.
+    Returns (entity, _bounds array<bigint> of epoch-us cut points)."""
     fracs = ", ".join(str((i + 1) / GRID) for i in range(GRID - 1))
-    bounds = (
-        hot.groupBy("conv_id")
+    return (
+        df.groupBy(entity_col)
         .agg(
             F.count(F.lit(1)).alias("_n"),
             F.expr(
-                f"percentile_approx(unix_micros(cast(ts as timestamp)), "
+                f"percentile_approx(unix_micros(cast({ts_col} as timestamp)), "
                 f"array({fracs}), 10000)"
             ).alias("_raw"),
         )
@@ -155,16 +147,35 @@ def _featurize_hot(
                 )
             ),
         )
-        .select("conv_id", "_bounds")
+        .select(entity_col, "_bounds")
     )
+
+
+def chunk_of(ts_col: str = "ts") -> "F.Column":
+    """chunk id = number of boundaries <= ts (requires joined _bounds)."""
+    us = _us(ts_col)
+    return F.aggregate(
+        "_bounds", F.lit(0), lambda acc, b: acc + F.when(us >= b, 1).otherwise(0)
+    )
+
+
+def _featurize_hot(
+    hot: DataFrame,
+    hot_census: DataFrame,
+    gap_s: float,
+    rate_window_s: int,
+    roll_rows: int,
+    chunk_target_rows: int,
+    persist_hot: bool = True,
+) -> DataFrame:
+    k_rows = roll_rows - 1  # row-lookback margin
+    margin_us = rate_window_s * 1_000_000
+
+    # ---- 2. range salting: ts-quantile boundaries per hot conv
+    bounds = compute_ts_bounds(hot, chunk_target_rows)
     hot = hot.join(F.broadcast(bounds), "conv_id")
     us = _us("ts")
-    chunk_id = F.aggregate(
-        "_bounds",
-        F.lit(0),
-        lambda acc, b: acc + F.when(us >= b, 1).otherwise(0),
-    )
-    hot = hot.withColumn("_chunk", chunk_id)
+    hot = hot.withColumn("_chunk", chunk_of("ts"))
     if persist_hot:
         hot = hot.persist()
 
@@ -218,13 +229,22 @@ def _featurize_hot(
         "_sb", F.when(is_real & (F.col("lag1_ts_gap_s") > gap_s), 1).otherwise(0)
     )
     u = u.withColumn("_local_sid", F.sum("_sb").over(wcum).cast("int"))
-    wsid = Window.partitionBy("conv_id", "_tgt", "_local_sid").orderBy("ts", "turn_idx")
+    # turn-in-session without an extra exchange: rows since the last
+    # boundary = cumulative real-row count minus its value just before
+    # the most recent boundary row (same (conv, _tgt) window).
+    u = u.withColumn("_cumreal", F.sum(F.when(is_real, 1).otherwise(0)).over(wcum))
     u = u.withColumn(
         "_local_tis",
-        F.sum(F.when(is_real, 1).otherwise(0))
-        .over(wsid.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("int"),
-    )
+        (
+            F.col("_cumreal")
+            - F.coalesce(
+                F.last(
+                    F.when(F.col("_sb") == 1, F.col("_cumreal") - 1), ignorenulls=True
+                ).over(wcum),
+                F.lit(0),
+            )
+        ).cast("int"),
+    ).drop("_cumreal")
     u = u.withColumn(
         "_local_backfill",
         F.last(F.when(is_real, F.col("tool")), ignorenulls=True).over(wcum),

@@ -66,6 +66,7 @@ SCALES = {
     "sf0.1": {"n_convs": 10_000, "total_turns": 600_000},
     # scaling-efficiency runs (compute must dominate fixed overhead)
     "sf1": {"n_convs": 50_000, "total_turns": 6_000_000},
+    "sf3": {"n_convs": 150_000, "total_turns": 18_000_000},
 }
 
 _T0 = np.datetime64("2025-01-01T00:00:00", "us")

@@ -80,6 +80,14 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     timed("featurize_transcripts", lambda: _force(featurize_expr(turns)))
+    from astrospectro_spark.engine.skew import featurize_salted
+
+    timed(
+        "featurize_salted",
+        lambda: _force(
+            featurize_salted(turns, hot_threshold=100_000, chunk_target_rows=50_000)
+        ),
+    )
     timed(
         "asof_anchors",
         lambda: _force(asof_join(turns, anchors, tolerance_col="tolerance_s")),

@@ -28,7 +28,7 @@ import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from astrospectro_spark.session import get_spark
 from astrospectro_spark.engine.skew import featurize_salted
-from astrospectro_spark.engine.asof import asof_join
+from astrospectro_spark.engine.asof import asof_join_salted
 
 cpus = int(sys.argv[1]); syn = sys.argv[2]
 # identical confs at both levels except thread count: same shuffle
@@ -50,7 +50,8 @@ res = {{}}
 for name, thunk in [
     ("featurize", lambda: force(featurize_salted(
         turns, hot_threshold=400_000, chunk_target_rows=200_000))),
-    ("asof", lambda: force(asof_join(turns, anchors, tolerance_col="tolerance_s"))),
+    ("asof", lambda: force(asof_join_salted(turns, anchors, tolerance_col="tolerance_s",
+        hot_threshold=400_000, chunk_target_rows=200_000))),
 ]:
     t0 = time.perf_counter(); thunk()
     res[name] = time.perf_counter() - t0
@@ -145,7 +146,7 @@ def main():
         "Featurize job = salted range partitioning (`featurize_salted`,",
         "hot_threshold=400k) — the 1.8M-turn mega-conversation runs as ~9",
         "parallel chunks instead of one task; as-of job = single-shuffle",
-        "sorted-merge (`asof_join`).",
+        "sorted-merge with the same salting (`asof_join_salted`).",
         "",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

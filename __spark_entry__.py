@@ -22,32 +22,12 @@ def entry(spark: SparkSession) -> DataFrame:
     the events table read as a transcript stream, joined as-of against
     purchase anchors — the engine's minimum end-to-end slice
     (SURVEY.md §7.1)."""
-    from pyspark.sql import functions as F
-
-    from astrospectro_spark.queries import (
-        q_asof_join,
-        q_backfill,
-        q_cum_role_counts,
-        q_lag_delta,
-        q_roll_mean,
-        q_sessionize,
-    )
+    from astrospectro_spark.queries import q_asof_join, q_feature_vector
 
     sf_dir = "/root/testdata/sf0.001"
-    base = q_sessionize(spark, sf_dir)
-    parts = [
-        q_lag_delta(spark, sf_dir),
-        q_backfill(spark, sf_dir),
-        q_cum_role_counts(spark, sf_dir),
-        q_roll_mean(spark, sf_dir),
-    ]
-    out = base
-    for p in parts:
-        out = out.join(p.drop("user_id"), "event_id")
+    out = q_feature_vector(spark, sf_dir)
     asof = q_asof_join(spark, sf_dir).select(
-        "event_id",
-        F.col("asof_click_id"),
-        F.col("asof_click_value"),
+        "event_id", "asof_click_id", "asof_click_value"
     )
     return out.join(asof, "event_id", "left")
 

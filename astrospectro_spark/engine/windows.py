@@ -114,12 +114,27 @@ def featurize_expr(
         "lag1_text_len_delta",
         (F.col("text_len") - F.lag("text_len").over(w)).cast("double"),
     )
+    sb = F.when(F.col("lag1_ts_gap_s") > gap_s, 1).otherwise(0)
+    df = df.withColumn("_sb", sb)
+    df = df.withColumn("session_id", F.sum("_sb").over(wcum).cast("int"))
+    # turn_in_session without a second exchange: a (conv, session)
+    # partition would re-shuffle the whole table; instead count rows
+    # since the most recent session boundary inside the SAME window
+    # (rn - rn just before the last boundary).
+    rn = F.row_number().over(w)
+    df = df.withColumn("_rn", rn)
     df = df.withColumn(
-        "session_id",
-        F.sum(F.when(F.col("lag1_ts_gap_s") > gap_s, 1).otherwise(0)).over(wcum).cast("int"),
-    )
-    ws = Window.partitionBy("conv_id", "session_id").orderBy("ts", "turn_idx")
-    df = df.withColumn("turn_in_session", F.row_number().over(ws).cast("int"))
+        "turn_in_session",
+        (
+            F.col("_rn")
+            - F.coalesce(
+                F.last(
+                    F.when(F.col("_sb") == 1, F.col("_rn") - 1), ignorenulls=True
+                ).over(wcum),
+                F.lit(0),
+            )
+        ).cast("int"),
+    ).drop("_sb", "_rn")
     # backfilled tool context: last non-null tool at-or-before this turn
     # (≙ fill-forward in add_photometric_composites,
     # reference: src/pipeline/feature_engineering.py:1586-1615)

@@ -211,6 +211,41 @@ GROUP BY event_type
 SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
 FROM events GROUP BY event_type
 """,
+    "feature_vector": """
+WITH gaps AS (
+  SELECT *, (epoch_us(ts) - lag(epoch_us(ts)) OVER w)::DOUBLE / 1e6 AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, CAST(sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS session_id
+  FROM gaps
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, session_id,
+       CAST(row_number() OVER (PARTITION BY user_id, session_id
+                               ORDER BY ts, event_id) AS BIGINT) AS turn_in_session,
+       round(gap_s, 6) AS lag1_ts_gap_s,
+       round(value - lag(value) OVER w, 6) AS lag1_value_delta,
+       last_value(CASE WHEN event_type IN ('purchase','signup') THEN event_type END
+                  IGNORE NULLS) OVER wc AS backfill_marker,
+       count(*) OVER wr AS rate_1d,
+       round(avg(value) OVER w5, 6) AS roll_mean_value_5,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER wc AS BIGINT)
+         AS cum_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER wc AS BIGINT)
+         AS cum_purchase,
+       round(lead(value) OVER w - value, 6) AS label_lead1_value_delta
+FROM sess
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wc AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       wr AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW),
+       w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
     "median_normalize": """
 WITH med AS (
   SELECT user_id, quantile_cont(value, 0.5) AS m FROM events GROUP BY user_id

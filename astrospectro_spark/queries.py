@@ -473,6 +473,48 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+def q_feature_vector(spark, sf_dir):
+    """FLAGSHIP: the full per-turn feature vector in ONE window plan —
+    sessionize + lag deltas + backfill + rolling rate + cumulative role
+    counts + rolling means + lead labels, all sharing a single exchange
+    on the entity key (the engine's minimum end-to-end slice, SURVEY
+    §7.1, over the events table)."""
+    ev = _t(spark, sf_dir, "events")
+    w = _W()
+    wcum = _wcum()
+    us = _us()
+    gap_s = (us - F.lag(us).over(w)).cast("double") / 1e6
+    df = ev.withColumn("lag1_ts_gap_s", F.round(gap_s, 6))
+    df = df.withColumn(
+        "session_id",
+        F.sum(F.when(gap_s > SESSION_GAP_S, 1).otherwise(0)).over(wcum).cast("long"),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    wr = Window.partitionBy("user_id").orderBy(us).rangeBetween(-86_400 * 1_000_000, 0)
+    marker = F.when(F.col("event_type").isin("purchase", "signup"), F.col("event_type"))
+    return df.select(
+        "event_id",
+        "user_id",
+        us.alias("ts_us"),
+        "session_id",
+        F.row_number().over(ws).cast("long").alias("turn_in_session"),
+        "lag1_ts_gap_s",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("lag1_value_delta"),
+        F.last(marker, ignorenulls=True).over(wcum).alias("backfill_marker"),
+        F.count(F.lit(1)).over(wr).alias("rate_1d"),
+        F.round(F.avg("value").over(_W().rowsBetween(-4, 0)), 6).alias("roll_mean_value_5"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .over(wcum)
+        .cast("long")
+        .alias("cum_error"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(wcum)
+        .cast("long")
+        .alias("cum_purchase"),
+        F.round(F.lead("value").over(w) - F.col("value"), 6).alias("label_lead1_value_delta"),
+    )
+
+
 def q_median_normalize(spark, sf_dir):
     """per-entity exact-median normalization (SURVEY §2.4 A1 —
     flux / median(flux) with non-positive guard,
@@ -636,6 +678,7 @@ QUERIES = {
     "regression_slope": q_regression_slope,
     "winsorize": q_winsorize,
     "distinct_counts": q_distinct_counts,
+    "feature_vector": q_feature_vector,
     "median_normalize": q_median_normalize,
     "embedding_neardup": q_embedding_neardup,
     "trapezoid_auc": q_trapezoid_auc,

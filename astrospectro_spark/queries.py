@@ -656,6 +656,112 @@ def q_cosine_topk_lsh(spark, sf_dir):
     return lsh_cosine_topk(e.filter(F.col("vec_id") < 10), e, k=5)
 
 
+# ================================================================
+# NumPy-kernel + multimodal operators (non-SQL-expressible → the
+# driver records rows-only checks; full verification is in tests/)
+# ================================================================
+
+
+def q_savgol_smooth(spark, sf_dir):
+    """Savitzky-Golay smoothing of the per-user value trajectory
+    (SURVEY §2.5 W3) — grouped NumPy kernel, Arrow batches."""
+    import pandas as pd
+
+    from astrospectro_spark.engine.kernels import savgol_smooth
+
+    ev = _t(spark, sf_dir, "events")
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        g = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        y = g["value"].to_numpy("float64")
+        sm = savgol_smooth(y, 5, 2)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "value_smooth": sm.round(6),
+                "value_resid": (y - sm).round(6),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        kernel, schema="event_id long, user_id long, value_smooth double, value_resid double"
+    )
+
+
+def q_poly_residuals(spark, sf_dir):
+    """two-pass global polynomial fit + per-row residual (SURVEY §2.4
+    A7; reference main-sequence delta, feature_engineering.py:1715-1752)."""
+    from astrospectro_spark.engine.regression import with_poly_residuals
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "x", (_us().cast("double") / 1e6) / 1e6
+    )
+    out = with_poly_residuals(ev, "x", "value", deg=2, min_rows=10)
+    return out.select("event_id", "user_id", F.round("residual", 4).alias("residual"))
+
+
+def q_sigma_clip_slope(spark, sf_dir):
+    """iterative sigma-clipped slope per entity (SURVEY §2.4 A10)."""
+    from astrospectro_spark.engine.regression import sigma_clip_slope
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "x", _us().cast("double") / 1e6
+    )
+    out = sigma_clip_slope(ev, "x", "value", group_col="user_id", sigma=2.5, n_iter=2)
+    return out.select(
+        "user_id", F.round("slope", 8).alias("slope"), F.round("intercept", 4).alias("intercept")
+    )
+
+
+def q_session_profiles(spark, sf_dir):
+    """per-session Gaussian activity-profile features (SURVEY §2.5 W6
+    FWHM fit) over sessionized events."""
+    import pandas as pd
+
+    from astrospectro_spark.engine.kernels import gaussian_profile_features
+
+    s = q_sessionize(spark, sf_dir).select("event_id", "session_id")
+    ev = _t(spark, sf_dir, "events").join(s, "event_id")
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        g = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        t = (g["ts"] - g["ts"].iloc[0]).dt.total_seconds().to_numpy("float64")
+        f = gaussian_profile_features(t, g["value"].to_numpy("float64"))
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": g["user_id"].iloc[0],
+                    "session_id": int(g["session_id"].iloc[0]),
+                    "n_events": len(g),
+                    "amp": round(f["amp"], 6),
+                    "mu_s": round(f["mu"], 6),
+                    "fwhm_s": round(f["fwhm"], 6),
+                }
+            ]
+        )
+
+    return ev.groupBy("user_id", "session_id").applyInPandas(
+        kernel,
+        schema="user_id long, session_id long, n_events long, amp double, mu_s double, fwhm_s double",
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """multimodal binary-column pipeline (decode stubbed, plumbing
+    real): deterministic media fixture → mapInPandas features."""
+    from astrospectro_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        synth_media,
+    )
+
+    media = spark.createDataFrame(synth_media(128), MEDIA_SCHEMA).repartition(8)
+    return extract_media_features(media).select(
+        "media_id", "kind", "n_bytes", "sha1", F.round("mean_val", 6).alias("mean_val")
+    )
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "lag_delta": q_lag_delta,
@@ -697,4 +803,9 @@ QUERIES = {
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
     "cosine_topk_lsh": q_cosine_topk_lsh,
+    "savgol_smooth": q_savgol_smooth,
+    "poly_residuals": q_poly_residuals,
+    "sigma_clip_slope": q_sigma_clip_slope,
+    "session_profiles": q_session_profiles,
+    "media_features": q_media_features,
 }

@@ -1,0 +1,68 @@
+"""Plan-shape regression guards: the scale properties we rely on must
+survive refactors — one hash exchange for the whole feature vector,
+column pruning reaching the scan, broadcast joins for small dims."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from astrospectro_spark.engine.asof import asof_join
+from astrospectro_spark.engine.windows import featurize_expr
+
+
+def _formatted(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _op_counts(plan: str) -> dict[str, int]:
+    ops = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    out: dict[str, int] = {}
+    for o in ops:
+        out[o] = out.get(o, 0) + 1
+    return out
+
+
+def test_featurize_single_exchange(spark, transcripts_sdf):
+    plan = _formatted(spark, featurize_expr(transcripts_sdf))
+    c = _op_counts(plan)
+    assert c.get("Exchange", 0) == 1, c
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_featurize_projection_prunes_scan(spark, transcripts_pdf, tmp_path):
+    # pruning must reach a real parquet scan (ReadSchema), so write one
+    src = str(tmp_path / "t.parquet")
+    spark.createDataFrame(transcripts_pdf).write.parquet(src)
+    turns = spark.read.parquet(src)
+    plan = _formatted(spark, featurize_expr(turns).select("conv_id", "session_id"))
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m, plan
+    # only the columns session_id needs reach the scan — not text/role/tool
+    assert "text" not in m.group(1) and "role" not in m.group(1)
+    # and unused windows are pruned from the plan
+    assert _op_counts(plan).get("Window", 99) <= 3
+
+
+def test_asof_single_exchange_no_python(spark, transcripts_sdf, anchors_sdf):
+    plan = _formatted(
+        spark, asof_join(transcripts_sdf, anchors_sdf, tolerance_col="tolerance_s")
+    )
+    c = _op_counts(plan)
+    assert c.get("Exchange", 0) == 1, c
+    assert c.get("Window", 0) == 1
+    assert "PythonUDF" not in plan
+
+
+def test_small_dim_join_broadcasts(spark, transcripts_sdf):
+    from astrospectro_spark.engine.events import associate_ref_events
+    from astrospectro_spark.engine.windows import sessionize
+    from astrospectro_spark.synth import generate_ref_events
+
+    ref = spark.createDataFrame(generate_ref_events())
+    plan = _formatted(spark, associate_ref_events(sessionize(transcripts_sdf), ref))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -135,7 +135,7 @@ FROM (
          CAST(l_linenumber AS BIGINT) AS first_linenumber,
          epoch_us(l_shipdate) AS first_shipdate_us,
          row_number() OVER (PARTITION BY l_orderkey
-                            ORDER BY l_shipdate, l_linenumber) AS rn
+                            ORDER BY l_shipdate, l_linenumber, l_partkey) AS rn
   FROM lineitem
 ) WHERE rn = 1
 """,

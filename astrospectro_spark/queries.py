@@ -219,7 +219,11 @@ def q_best_match(spark, sf_dir):
     """min-by dedup: first lineitem per order by (shipdate, linenumber)
     (SURVEY §2.4 A6 groupby-first, src/tools/gaia_crossmatcher.py:740-744)."""
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber")
+    # order over ALL output columns: (orderkey, linenumber) is not unique
+    # in the data, so the tiebreak must be total over what we emit
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_shipdate", "l_linenumber", "l_partkey"
+    )
     return (
         li.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -85,16 +85,26 @@ def asof_join(
         *[F.col("_asof").getField(f"asof_{c}").alias(f"asof_{c}") for c in value_cols],
     )
     if tolerance_col:
-        too_old = (
-            F.unix_micros(F.col(anchor_ts).cast("timestamp"))
-            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
-        ) > F.col(tolerance_col).cast("long") * 1_000_000
-        for c in value_cols:
-            out = out.withColumn(
-                f"asof_{c}",
-                F.when(too_old, F.lit(None)).otherwise(F.col(f"asof_{c}")),
-            )
+        out = _null_when_too_old(out, anchor_ts, tolerance_col, value_cols)
     return out
+
+
+def _null_when_too_old(out, anchor_ts, tolerance_col, value_cols):
+    """Null every asof_* column when the match is older than the
+    tolerance. Evaluated into a temp column FIRST: nulling in a loop
+    while the predicate still reads asof_ts would corrupt later columns
+    whenever 'ts' is not last in value_cols."""
+    too_old = (
+        F.unix_micros(F.col(anchor_ts).cast("timestamp"))
+        - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+    ) > F.col(tolerance_col).cast("long") * 1_000_000
+    out = out.withColumn("_too_old", too_old)
+    for c in value_cols:
+        out = out.withColumn(
+            f"asof_{c}",
+            F.when(F.col("_too_old"), F.lit(None)).otherwise(F.col(f"asof_{c}")),
+        )
+    return out.drop("_too_old")
 
 
 def asof_join_salted(
@@ -218,15 +228,7 @@ def asof_join_salted(
         *[F.col("_asof").getField(f"asof_{c}").alias(f"asof_{c}") for c in value_cols],
     )
     if tolerance_col:
-        too_old = (
-            F.unix_micros(F.col(anchor_ts).cast("timestamp"))
-            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
-        ) > F.col(tolerance_col).cast("long") * 1_000_000
-        for c in value_cols:
-            hot_out = hot_out.withColumn(
-                f"asof_{c}",
-                F.when(too_old, F.lit(None)).otherwise(F.col(f"asof_{c}")),
-            )
+        hot_out = _null_when_too_old(hot_out, anchor_ts, tolerance_col, value_cols)
     return cold_out.unionByName(hot_out.select(cold_out.columns))
 
 

@@ -38,24 +38,58 @@ def savgol_coeffs(window: int, polyorder: int) -> np.ndarray:
     return np.linalg.pinv(a)[0]
 
 
+@lru_cache(maxsize=32)
+def savgol_projection(npts: int, polyorder: int) -> np.ndarray:
+    """The npts×npts local least-squares projection matrix
+    H = A·pinv(A), A = Vandermonde(0..npts-1, polyorder). Row i gives
+    the smoothed value at position i as a fixed linear combination of
+    the window's samples — H[center] equals the classic SG convolution
+    coefficients, the other rows are scipy's mode='interp' edge
+    evaluations. Precomputing H makes the smoother a pure
+    multiply-accumulate, so the DuckDB oracle can embed the SAME
+    literal coefficients and hash-match."""
+    x = np.arange(npts, dtype=np.float64)
+    a = np.vander(x, polyorder + 1, increasing=True)
+    return a @ np.linalg.pinv(a)
+
+
+def _mac(coeffs: np.ndarray, samples) -> float | np.ndarray:
+    """Left-to-right multiply-accumulate: ((c0*y0 + c1*y1) + c2*y2)...
+    — the exact FP op order the SQL oracle's `c0*a + c1*b + ...`
+    expression uses, so results are bit-identical."""
+    acc = coeffs[0] * samples[0]
+    for j in range(1, len(coeffs)):
+        acc = acc + coeffs[j] * samples[j]
+    return acc
+
+
 def savgol_smooth(y: np.ndarray, window: int = 5, polyorder: int = 2) -> np.ndarray:
-    """Savitzky-Golay smoothing; short series fall back to a global
-    polynomial fit; edges use the local polynomial evaluated off-centre
-    (scipy's mode='interp' semantics)."""
+    """Savitzky-Golay smoothing; short series fall back to a local
+    least-squares projection over all points (exact copy when
+    n <= polyorder+1); edges use the local polynomial evaluated
+    off-centre (scipy's mode='interp' semantics). All arithmetic is
+    ordered multiply-accumulate against precomputed projection rows —
+    bit-identical to the generated DuckDB oracle."""
+    y = np.asarray(y, dtype=np.float64)
     n = len(y)
     if n == 0:
-        return y.astype(np.float64)
+        return y
+    if n <= polyorder + 1:
+        return y.copy()
     if n < window:
-        deg = min(polyorder, n - 1)
-        c = np.polyfit(np.arange(n), y, deg)
-        return np.polyval(c, np.arange(n))
-    out = np.convolve(y, savgol_coeffs(window, polyorder)[::-1], mode="same")
+        h = savgol_projection(n, polyorder)
+        return np.array([_mac(h[i], y) for i in range(n)])
+    h = savgol_projection(window, polyorder)
     half = window // 2
-    xw = np.arange(window, dtype=np.float64)
-    head = np.polyfit(xw, y[:window], polyorder)
-    tail = np.polyfit(xw, y[-window:], polyorder)
-    out[:half] = np.polyval(head, np.arange(half))
-    out[-half:] = np.polyval(tail, np.arange(window - half, window))
+    out = np.empty(n, dtype=np.float64)
+    # interior: sliding MAC with the centre row (vectorised, same
+    # left-to-right accumulation order per output element)
+    m = n - window + 1
+    out[half : half + m] = _mac(h[half], [y[j : j + m] for j in range(window)])
+    # edges: off-centre rows over the first/last full window
+    for i in range(half):
+        out[i] = _mac(h[i], y[:window])
+        out[n - half + i] = _mac(h[window - half + i], y[n - window :])
     return out
 
 

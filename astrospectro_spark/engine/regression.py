@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -89,22 +89,89 @@ def sigma_clip_slope(
     while-loop becomes a bounded unrolled plan (the iterative version
     belongs in a grouped pandas kernel; this is the Catalyst-friendly
     fixed-point form).
+
+    Conditioning: x is centered at the per-group min BEFORE the
+    co-moment aggregates (large-offset x, e.g. raw epoch seconds, makes
+    covar_pop/var_pop catastrophically ill-conditioned). The slope is
+    shift-invariant; the returned intercept is mapped back to the
+    caller's x origin (b - slope*xmin). For already-centered x the
+    adjustment is exactly b - slope*0.0 = b, bit-for-bit.
     """
     keys = [group_col] if group_col else []
-    cur = df
+    wmin = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    work = df.withColumn("_xc", F.col(x) - F.min(x).over(wmin))
+    xmin = work.groupBy(*keys).agg(F.min(x).alias("_xmin"))
+    cur = work
     fit = None
     for _ in range(n_iter):
         fit = cur.groupBy(*keys).agg(
-            (F.covar_pop(x, y) / F.var_pop(x)).alias("_slope"),
-            (F.avg(y) - F.covar_pop(x, y) / F.var_pop(x) * F.avg(x)).alias("_icept"),
+            (F.covar_pop("_xc", y) / F.var_pop("_xc")).alias("_slope"),
+            (F.avg(y) - F.covar_pop("_xc", y) / F.var_pop("_xc") * F.avg("_xc")).alias("_icept"),
         )
         joined = cur.join(F.broadcast(fit), keys) if keys else cur.crossJoin(F.broadcast(fit))
-        resid = F.col(y) - (F.col("_slope") * F.col(x) + F.col("_icept"))
+        resid = F.col(y) - (F.col("_slope") * F.col("_xc") + F.col("_icept"))
         stats = joined.withColumn("_r", resid)
         bound = stats.groupBy(*keys).agg(F.stddev_pop("_r").alias("_s"))
         stats = stats.join(F.broadcast(bound), keys) if keys else stats.crossJoin(F.broadcast(bound))
         cur = stats.filter(
             (F.col("_s") == 0) | (F.abs(F.col("_r")) <= sigma * F.col("_s"))
-        ).select(df.columns)
-    out = fit.select(*keys, F.col("_slope").alias("slope"), F.col("_icept").alias("intercept"))
-    return out
+        ).select(work.columns)
+    out = fit if not keys else fit.join(xmin, keys)
+    if not keys:
+        out = out.crossJoin(F.broadcast(xmin))
+    return out.select(
+        *keys,
+        F.col("_slope").alias("slope"),
+        (F.col("_icept") - F.col("_slope") * F.col("_xmin")).alias("intercept"),
+    )
+
+
+def poly2_residuals_per_entity(
+    df: DataFrame,
+    x: str,
+    y: str,
+    group_col: str,
+    min_rows: int = 10,
+    out_col: str = "residual",
+) -> DataFrame:
+    """Distributed per-entity degree-2 least-squares fit + residual.
+
+    One shuffle reduces each entity to 8 moment sums; Cramer's rule in
+    closed-form expressions solves the 3x3 normal equations; a
+    broadcast join evaluates the per-row residual. Fully scales (no
+    driver-side solve, unlike :func:`with_poly_residuals`).
+
+    Caller must supply a well-conditioned ``x`` (normalize to [0,1] per
+    entity). The Cramer expressions are written term-for-term identical
+    to the DuckDB oracle so residuals hash-match at round(4).
+    Entities with fewer than ``min_rows`` rows or a singular system get
+    NULL residuals (the reference requires >= 200 rows for its global
+    fit, feature_engineering.py:1726).
+    """
+    xc, yc = F.col(x), F.col(y)
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(xc).alias("s1"),
+        F.sum(xc * xc).alias("s2"),
+        F.sum(xc * xc * xc).alias("s3"),
+        F.sum(xc * xc * xc * xc).alias("s4"),
+        F.sum(yc).alias("t0"),
+        F.sum(xc * yc).alias("t1"),
+        F.sum(xc * xc * yc).alias("t2"),
+    )
+    n, s1, s2, s3, s4 = F.col("n"), F.col("s1"), F.col("s2"), F.col("s3"), F.col("s4")
+    t0, t1, t2 = F.col("t0"), F.col("t1"), F.col("t2")
+    coeffs = g.select(
+        group_col,
+        "n",
+        (n * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2) + s2 * (s1 * s3 - s2 * s2)).alias("det"),
+        (t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - s3 * t2) + s2 * (t1 * s3 - s2 * t2)).alias("d0"),
+        (n * (t1 * s4 - s3 * t2) - t0 * (s1 * s4 - s3 * s2) + s2 * (s1 * t2 - t1 * s2)).alias("d1"),
+        (n * (s2 * t2 - s3 * t1) - s1 * (s1 * t2 - s3 * t0) + t0 * (s1 * s3 - s2 * s2)).alias("d2"),
+    )
+    det, d0, d1, d2 = F.col("det"), F.col("d0"), F.col("d1"), F.col("d2")
+    fitted = d0 / det + (d1 / det) * xc + (d2 / det) * xc * xc
+    return df.join(F.broadcast(coeffs), group_col).withColumn(
+        out_col,
+        F.when((F.col("n") >= min_rows) & (det != 0), yc - fitted),
+    )

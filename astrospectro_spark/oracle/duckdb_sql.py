@@ -189,12 +189,107 @@ SELECT regexp_extract(p_type, '^(\w+)', 1) AS type_class,
 FROM part GROUP BY 1
 """,
     "regression_slope": """
+WITH c AS (
+  SELECT user_id, value,
+         (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))::DOUBLE / 1e6 AS x
+  FROM events
+)
 SELECT user_id,
-       round(covar_pop(epoch_us(ts)::DOUBLE / 1e6, value)
-             / var_pop(epoch_us(ts)::DOUBLE / 1e6), 6) AS slope,
-       round(corr(epoch_us(ts)::DOUBLE / 1e6, value), 6) AS pearson_r,
+       round(covar_pop(x, value) / var_pop(x), 6) AS slope,
+       round(corr(x, value), 6) AS pearson_r,
        count(*) AS n
-FROM events GROUP BY user_id
+FROM c GROUP BY user_id
+""",
+    "class_median_transform": """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(m, 6) AS class_median,
+       round(e.value - m, 6) AS value_dev_class
+FROM events e JOIN med USING (event_type)
+""",
+    "seeded_sample": """
+SELECT event_id, user_id, md5('seed42|' || event_id::VARCHAR) AS sample_key
+FROM events ORDER BY sample_key LIMIT 100
+""",
+    "session_profiles": SESSION_CTE
+    + """
+, wts AS (
+  SELECT user_id, session_id, value, greatest(value, 0.0) AS wv,
+         (epoch_us(ts) - min(epoch_us(ts))
+            OVER (PARTITION BY user_id, session_id))::DOUBLE / 1e6 AS t
+  FROM sess
+), m AS (
+  SELECT user_id, session_id, count(*) AS n_events, max(wv) AS amp,
+         sum(t * wv) AS stw, sum(wv) AS tot
+  FROM wts GROUP BY user_id, session_id
+), mu AS (
+  SELECT *, CASE WHEN tot > 0 THEN stw / tot END AS mu FROM m
+), v AS (
+  SELECT w.user_id, w.session_id,
+         sum((w.t - mu.mu) * (w.t - mu.mu) * w.wv) AS svar
+  FROM wts w JOIN mu USING (user_id, session_id)
+  GROUP BY w.user_id, w.session_id
+)
+SELECT mu.user_id, mu.session_id, mu.n_events,
+       round(CASE WHEN tot > 0 THEN amp END, 6) AS amp,
+       round(mu.mu, 6) AS mu_s,
+       round(CASE WHEN tot > 0 THEN (2 * sqrt(2 * ln(2))) * sqrt(svar / tot) END, 6)
+         AS fwhm_s
+FROM mu JOIN v USING (user_id, session_id)
+""",
+    "poly_residuals": """
+WITH xx AS (
+  SELECT event_id, user_id, value,
+         (epoch_us(ts) - min(epoch_us(ts)) OVER w)::DOUBLE
+           / (greatest(max(epoch_us(ts)) OVER w - min(epoch_us(ts)) OVER w, 1))::DOUBLE AS x
+  FROM events
+  WINDOW w AS (PARTITION BY user_id)
+), g AS (
+  SELECT user_id, count(*)::DOUBLE AS n,
+         sum(x) AS s1, sum(x*x) AS s2, sum(x*x*x) AS s3, sum(x*x*x*x) AS s4,
+         sum(value) AS t0, sum(x*value) AS t1, sum(x*x*value) AS t2
+  FROM xx GROUP BY user_id
+), c AS (
+  SELECT user_id, n,
+         n*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2) AS det,
+         t0*(s2*s4 - s3*s3) - s1*(t1*s4 - s3*t2) + s2*(t1*s3 - s2*t2) AS d0,
+         n*(t1*s4 - s3*t2) - t0*(s1*s4 - s3*s2) + s2*(s1*t2 - t1*s2) AS d1,
+         n*(s2*t2 - s3*t1) - s1*(s1*t2 - s3*t0) + t0*(s1*s3 - s2*s2) AS d2
+  FROM g
+)
+SELECT e.event_id, e.user_id,
+       round(CASE WHEN c.n >= 10 AND c.det <> 0
+             THEN e.value - (c.d0/c.det + (c.d1/c.det)*e.x + (c.d2/c.det)*e.x*e.x)
+             END, 4) AS residual
+FROM xx e JOIN c USING (user_id)
+""",
+    "sigma_clip_slope": """
+WITH xx AS (
+  SELECT user_id, value,
+         (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))::DOUBLE / 1e6 AS x
+  FROM events
+), f1 AS (
+  SELECT user_id, covar_pop(x, value) / var_pop(x) AS sl,
+         avg(value) - covar_pop(x, value) / var_pop(x) * avg(x) AS ic
+  FROM xx GROUP BY user_id
+), r AS (
+  SELECT xx.user_id, xx.x, xx.value,
+         xx.value - (f1.sl * xx.x + f1.ic) AS resid
+  FROM xx JOIN f1 USING (user_id)
+), s AS (
+  SELECT user_id, stddev_pop(resid) AS sd FROM r GROUP BY user_id
+), kept AS (
+  SELECT r.user_id, r.x, r.value
+  FROM r JOIN s USING (user_id)
+  WHERE s.sd = 0 OR abs(r.resid) <= 2.5 * s.sd
+)
+SELECT user_id,
+       round(covar_pop(x, value) / var_pop(x), 8) AS slope,
+       round(avg(value) - covar_pop(x, value) / var_pop(x) * avg(x), 4) AS intercept
+FROM kept GROUP BY user_id
 """,
     "winsorize": """
 WITH q AS (

@@ -200,9 +200,19 @@ def q_asof_tolerance(spark, sf_dir):
 
 # ---------------------------------------------------------------- session agg
 def q_session_stats(spark, sf_dir):
-    """sessionize → per-session aggregates (composite; SURVEY §2.4 A9)."""
-    s = q_sessionize(spark, sf_dir).select("event_id", "session_id")
-    ev = _t(spark, sf_dir, "events").join(s, "event_id")
+    """sessionize → per-session aggregates (composite; SURVEY §2.4 A9).
+
+    session_id is computed IN-PLAN (same conv-partitioned window) and
+    aggregated directly — no self-join back to the events table, so the
+    plan is Scan → Exchange(user_id) → Window → partial agg → Exchange
+    (of the already-aggregated partials) instead of a second full-table
+    exchange on event_id."""
+    ev = _t(spark, sf_dir, "events")
+    gap_s = (_us() - F.lag(_us()).over(_W())).cast("double") / 1e6
+    ev = ev.withColumn(
+        "session_id",
+        F.sum(F.when(gap_s > SESSION_GAP_S, 1).otherwise(0)).over(_wcum()).cast("long"),
+    )
     return (
         ev.groupBy("user_id", "session_id")
         .agg(
@@ -286,8 +296,10 @@ def q_sentinel_nullify(spark, sf_dir):
     src/tools/generate_catalog_from_fits.py:99-107)."""
     ev = _t(spark, sf_dir, "events")
     v = F.when(F.col("value") >= 190.0, F.lit(None)).otherwise(F.col("value"))
+    # count the sentinel condition directly (not v.isNull()): input rows
+    # that were ALREADY NULL must not count as "nulled by the rule"
     return ev.groupBy("event_type").agg(
-        F.sum(F.when(v.isNull(), 1).otherwise(0)).cast("long").alias("n_nulled"),
+        F.sum(F.when(F.col("value") >= 190.0, 1).otherwise(0)).cast("long").alias("n_nulled"),
         F.round(F.avg(v), 6).alias("avg_value_clean"),
     )
 
@@ -340,14 +352,23 @@ def q_regex_extract(spark, sf_dir):
 # ---------------------------------------------------------------- W9 slope
 def q_regression_slope(spark, sf_dir):
     """per-entity regression slope = covar_pop/var_pop (SURVEY §2.5 W9
-    EW-vs-λ gradient, src/pipeline/feature_engineering.py:453-466)."""
+    EW-vs-λ gradient, src/pipeline/feature_engineering.py:453-466).
+
+    x is centered at the per-entity min timestamp BEFORE the co-moment
+    aggregation: at raw epoch offsets (~1.7e9 s) the accumulation is
+    catastrophically ill-conditioned and Spark's vs DuckDB's different
+    summation orders diverge past round(6). Centering is the same
+    conditioning discipline q_moments uses (slope is shift-invariant,
+    so semantics are unchanged)."""
     ev = _t(spark, sf_dir, "events")
-    x = _us().cast("double") / 1e6
+    us = _us()
+    x = (us - F.min(us).over(Window.partitionBy("user_id"))).cast("double") / 1e6
     return (
-        ev.groupBy("user_id")
+        ev.withColumn("_x", x)
+        .groupBy("user_id")
         .agg(
-            F.round(F.covar_pop(x, F.col("value")) / F.var_pop(x), 6).alias("slope"),
-            F.round(F.corr(x, F.col("value")), 6).alias("pearson_r"),
+            F.round(F.covar_pop("_x", F.col("value")) / F.var_pop("_x"), 6).alias("slope"),
+            F.round(F.corr("_x", F.col("value")), 6).alias("pearson_r"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -516,6 +537,44 @@ def q_feature_vector(spark, sf_dir):
         .cast("long")
         .alias("cum_purchase"),
         F.round(F.lead("value").over(w) - F.col("value"), 6).alias("label_lead1_value_delta"),
+    )
+
+
+# ---------------------------------------------------------------- A8
+def q_class_median_transform(spark, sf_dir):
+    """per-class exact-median transform broadcast back to rows
+    (SURVEY §2.4 A8 — groupby(spt)[fwhm].transform('median'),
+    reference notebooks/03_scientific_validation.ipynb): each row gets
+    its class median and its deviation from it."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("_med")
+    )
+    return ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("_med"), 6).alias("class_median"),
+        F.round(F.col("value") - F.col("_med"), 6).alias("value_dev_class"),
+    )
+
+
+# ---------------------------------------------------------------- O5
+def q_seeded_sample(spark, sf_dir):
+    """seeded deterministic k-sample (SURVEY §2.6 O5 — the reference's
+    random.sample batch selection, src/tools/dataset_builder.py:218-226).
+
+    Hash-ordering sample: rank rows by md5(seed || id) and take the
+    first k. Unlike rand(seed) (engine-private RNG), the md5 order is
+    reproducible in ANY engine, shuffle-free up to the top-k sort, and
+    stable under repartitioning — the property the reference needs
+    (same batch on resume)."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.md5(F.concat(F.lit("seed42|"), F.col("event_id").cast("string")))
+    return (
+        ev.withColumn("sample_key", key)
+        .orderBy("sample_key")
+        .limit(100)
+        .select("event_id", "user_id", "sample_key")
     )
 
 
@@ -694,23 +753,39 @@ def q_savgol_smooth(spark, sf_dir):
 
 
 def q_poly_residuals(spark, sf_dir):
-    """two-pass global polynomial fit + per-row residual (SURVEY §2.4
-    A7; reference main-sequence delta, feature_engineering.py:1715-1752)."""
-    from astrospectro_spark.engine.regression import with_poly_residuals
+    """per-entity deg-2 polynomial fit + per-row residual (SURVEY §2.4
+    A7; reference main-sequence delta, feature_engineering.py:1715-1752).
 
+    Fully distributed: x is normalized to [0,1] per entity (well
+    conditioned), the normal equations are solved with explicit Cramer
+    expressions (engine/regression.poly2_residuals_per_entity) — the
+    identical arithmetic runs in the DuckDB oracle, so the residuals
+    hash-match. The reference's GLOBAL two-pass fit (driver-side 3x3
+    solve) remains in engine/regression.with_poly_residuals with a
+    pytest-vs-np.polyfit oracle."""
+    from astrospectro_spark.engine.regression import poly2_residuals_per_entity
+
+    us = _us()
+    wu = Window.partitionBy("user_id")
+    span = F.greatest(F.max(us).over(wu) - F.min(us).over(wu), F.lit(1))
     ev = _t(spark, sf_dir, "events").withColumn(
-        "x", (_us().cast("double") / 1e6) / 1e6
+        "x", (us - F.min(us).over(wu)).cast("double") / span.cast("double")
     )
-    out = with_poly_residuals(ev, "x", "value", deg=2, min_rows=10)
+    out = poly2_residuals_per_entity(ev, "x", "value", "user_id", min_rows=10)
     return out.select("event_id", "user_id", F.round("residual", 4).alias("residual"))
 
 
 def q_sigma_clip_slope(spark, sf_dir):
-    """iterative sigma-clipped slope per entity (SURVEY §2.4 A10)."""
+    """iterative sigma-clipped slope per entity (SURVEY §2.4 A10).
+
+    x is per-entity seconds-since-first-event (centered BEFORE the
+    co-moment aggregates — same conditioning fix as regression_slope);
+    the DuckDB oracle unrolls the two clip iterations as CTEs."""
     from astrospectro_spark.engine.regression import sigma_clip_slope
 
+    us = _us()
     ev = _t(spark, sf_dir, "events").withColumn(
-        "x", _us().cast("double") / 1e6
+        "x", (us - F.min(us).over(Window.partitionBy("user_id"))).cast("double") / 1e6
     )
     out = sigma_clip_slope(ev, "x", "value", group_col="user_id", sigma=2.5, n_iter=2)
     return out.select(
@@ -720,32 +795,51 @@ def q_sigma_clip_slope(spark, sf_dir):
 
 def q_session_profiles(spark, sf_dir):
     """per-session Gaussian activity-profile features (SURVEY §2.5 W6
-    FWHM fit) over sessionized events."""
+    FWHM fit): moment-method amplitude / centre / FWHM of the value
+    profile within each ts-gap session.
+
+    ONE grouped kernel per entity: sessionization happens INSIDE the
+    pandas kernel (no self-join back to events, no second exchange —
+    the plan is Scan → Exchange(user_id) → FlatMapGroupsInPandas).
+    Arithmetic mirrors the DuckDB oracle exactly: integer-µs time axis
+    divided once by 1e6, weights clipped at 0, two-pass mu/var."""
+    import numpy as np
     import pandas as pd
 
-    from astrospectro_spark.engine.kernels import gaussian_profile_features
-
-    s = q_sessionize(spark, sf_dir).select("event_id", "session_id")
-    ev = _t(spark, sf_dir, "events").join(s, "event_id")
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    fwhm_k = 2.0 * np.sqrt(2.0 * np.log(2.0))
 
     def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
         g = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        t = (g["ts"] - g["ts"].iloc[0]).dt.total_seconds().to_numpy("float64")
-        f = gaussian_profile_features(t, g["value"].to_numpy("float64"))
-        return pd.DataFrame(
-            [
+        us = g["ts"].to_numpy("datetime64[us]").astype("int64")
+        gap_s = np.diff(us, prepend=us[0] if len(us) else 0).astype("float64") / 1e6
+        sid = np.cumsum(gap_s > SESSION_GAP_S)
+        y = g["value"].to_numpy("float64")
+        rows = []
+        for s in np.unique(sid):
+            m = sid == s
+            t = (us[m] - us[m][0]).astype("float64") / 1e6
+            w = np.clip(y[m], 0.0, None)
+            tot = w.sum()
+            if tot > 0:
+                mu = (t * w).sum() / tot
+                var = ((t - mu) ** 2 * w).sum() / tot
+                amp, mu_s, fwhm = w.max(), mu, fwhm_k * np.sqrt(var)
+            else:
+                amp = mu_s = fwhm = None
+            rows.append(
                 {
                     "user_id": g["user_id"].iloc[0],
-                    "session_id": int(g["session_id"].iloc[0]),
-                    "n_events": len(g),
-                    "amp": round(f["amp"], 6),
-                    "mu_s": round(f["mu"], 6),
-                    "fwhm_s": round(f["fwhm"], 6),
+                    "session_id": int(s),
+                    "n_events": int(m.sum()),
+                    "amp": None if amp is None else round(amp, 6),
+                    "mu_s": None if mu_s is None else round(mu_s, 6),
+                    "fwhm_s": None if fwhm is None else round(fwhm, 6),
                 }
-            ]
-        )
+            )
+        return pd.DataFrame(rows)
 
-    return ev.groupBy("user_id", "session_id").applyInPandas(
+    return ev.groupBy("user_id").applyInPandas(
         kernel,
         schema="user_id long, session_id long, n_events long, amp double, mu_s double, fwhm_s double",
     )
@@ -790,6 +884,8 @@ QUERIES = {
     "distinct_counts": q_distinct_counts,
     "feature_vector": q_feature_vector,
     "median_normalize": q_median_normalize,
+    "class_median_transform": q_class_median_transform,
+    "seeded_sample": q_seeded_sample,
     "embedding_neardup": q_embedding_neardup,
     "trapezoid_auc": q_trapezoid_auc,
     "moments": q_moments,

@@ -8,15 +8,16 @@ Four tiers, all expression-only (JVM, codegen) except where noted:
 - :func:`ngram_jaccard_pairs` — word n-gram shingle Jaccard between
   candidate pairs (pairs bucketed by a cheap key to avoid O(n²));
 - :func:`minhash_lsh_candidates` — MinHash signatures (k permutations
-  via seeded xxhash64) + LSH banding: near-dup candidate pairs from
+  via salted md5) + LSH banding: near-dup candidate pairs from
   band-bucket joins, then exact-Jaccard verification. Scales as
   O(n·k + candidate pairs), never O(n²);
 - :func:`simhash64` — 64-bit SimHash over token hashes (aggregate +
   zip_with bit counters).
 
-MinHash/SimHash use Spark's xxhash64 so they have no cross-engine SQL
-oracle (driver records rows-only checks); exact + Jaccard tiers have
-full DuckDB oracles.
+All hash bits derive from md5 (``md5_hash60`` / 32-bit md5 words), which
+is computable bit-identically in any SQL engine — every tier here has a
+full DuckDB oracle (oracle/duckdb_sql.py builds the same hashes with
+``('0x' || substr(md5(x), ...))::BIGINT``).
 """
 
 from __future__ import annotations
@@ -25,6 +26,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from astrospectro_spark.functions.text import tokens
+
+
+def md5_hash60(col: Column) -> Column:
+    """First 15 hex chars of md5 as a non-negative 60-bit BIGINT.
+    Engine-portable: DuckDB computes the identical value as
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT`` (verified bit-equal)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def _norm_tokens(text_col: str) -> Column:
@@ -55,7 +63,6 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     from astrospectro_spark.functions.text import with_fingerprint
 
     f = with_fingerprint(df, text_col).select(id_col, "fingerprint")
-    w = F.window  # noqa: F841 (documentation: no time windows here)
     grp = f.groupBy("fingerprint").agg(
         F.count(F.lit(1)).alias("group_size"),
         F.min(id_col).alias("keeper_id"),
@@ -108,11 +115,17 @@ def ngram_jaccard_pairs(
 
 def minhash_signature(text_col: str = "text", num_perm: int = 32, ngram: int = 3) -> Column:
     """MinHash signature: k independent permutations simulated by
-    seeded xxhash64 over the shingle set (array of k BIGINT minima)."""
+    salted md5 (``min over shingles of md5_hash60('k|' + shingle)``) —
+    an array of k BIGINT minima, reproducible in any engine."""
     sh = shingles(text_col, ngram)
     return F.transform(
         F.sequence(F.lit(1), F.lit(num_perm)),
-        lambda seed: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, seed))),
+        lambda seed: F.array_min(
+            F.transform(
+                sh,
+                lambda s: md5_hash60(F.concat(seed.cast("string"), F.lit("|"), s)),
+            )
+        ),
     )
 
 
@@ -128,9 +141,13 @@ def minhash_lsh_candidates(
     """MinHash + LSH near-dup detection.
 
     signature → ``bands`` bands of ``num_perm/bands`` rows → band-hash
-    bucket join → candidate pairs → exact shingle-Jaccard verification.
-    The band join shuffles only (band_id, hash, id) — at 10^9 docs the
-    wide text column never reaches the shuffle.
+    bucket join → candidate id pairs → exact shingle-Jaccard
+    verification. The band-bucket join carries ONLY
+    (band_id, band_hash, id); the shingle arrays are re-attached to the
+    deduplicated candidate pairs afterwards — the coarse-prejoin /
+    exact-refilter pattern of the reference's cross-matcher
+    (src/tools/gaia_crossmatcher.py:285-343,426-432). At 10^9 docs the
+    wide text/shingle payload never rides the bucket shuffle.
     """
     rows_per_band = num_perm // bands
     d = df.select(
@@ -140,13 +157,12 @@ def minhash_lsh_candidates(
     )
     banded = d.select(
         id_col,
-        "sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band_id"),
-                    F.xxhash64(
+                    md5_hash60(
                         F.concat_ws(
                             ",",
                             F.transform(
@@ -158,19 +174,20 @@ def minhash_lsh_candidates(
                 ),
             )
         ).alias("band"),
-    ).select(id_col, "sh", "band.band_id", "band.band_hash")
+    ).select(id_col, "band.band_id", "band.band_hash")
 
-    a = banded.select(
-        "band_id", "band_hash", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
-    )
-    b = banded.select(
-        "band_id", "band_hash", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
-    )
+    a = banded.select("band_id", "band_hash", F.col(id_col).alias("id_a"))
+    b = banded.select("band_id", "band_hash", F.col(id_col).alias("id_b"))
     cand = (
         a.join(b, ["band_id", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh = d.select(id_col, "sh")
+    cand = cand.join(
+        sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
@@ -182,20 +199,32 @@ def minhash_lsh_candidates(
 
 
 def simhash64(text_col: str = "text") -> Column:
-    """64-bit SimHash: per-token xxhash64, per-bit +-1 vote, sign bits
-    packed into one BIGINT. Hamming distance between simhashes
-    approximates token-multiset similarity."""
+    """64-bit SimHash: two 32-bit md5 words per token, per-bit +-1 vote,
+    sign bits packed into one BIGINT. Hamming distance between simhashes
+    approximates token-multiset similarity. md5-derived bits make the
+    DuckDB oracle bit-identical."""
     toks = tokens(text_col)
-    votes = F.aggregate(
+    words = F.transform(
         toks,
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("w1"),
+            F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("w2"),
+        ),
+    )
+    votes = F.aggregate(
+        words,
         F.expr("array_repeat(0L, 64)"),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(63)),
-                lambda b: F.when(F.getbit(F.xxhash64(t), b) == 1, F.lit(1)).otherwise(
-                    F.lit(-1)
-                ),
+                lambda b: F.when(
+                    F.when(b < 32, F.getbit(h.getField("w1"), b)).otherwise(
+                        F.getbit(h.getField("w2"), b - 32)
+                    )
+                    == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
             ),
             lambda x, y: x + y.cast("long"),
         ),

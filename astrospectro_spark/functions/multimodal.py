@@ -57,6 +57,42 @@ def _decode_fake(payload: bytes, kind: str) -> np.ndarray:
 DECODER = _decode_fake
 
 
+KINDS = ("image", "audio", "video")
+
+
+def media_from_docs(df: DataFrame) -> DataFrame:
+    """Deterministic media table derived from a documents table: one
+    media row per doc_id with an arithmetic-sequence payload
+    ``byte[i] = (31*doc_id + 7*i) % 256`` of ``256 + (doc_id%7)*97``
+    bytes. Closed-form payloads make every decoded statistic
+    SQL-computable, so the full decode→feature pipeline has an exact
+    DuckDB oracle while exercising the real binary-column plumbing
+    (mapInPandas construction, binary schema, Arrow batches)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 256 + (did % 7) * 97
+                payload = bytes((31 * did + 7 * i) % 256 for i in range(n))
+                kind = KINDS[did % 3]
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": kind,
+                        "payload": payload,
+                        "width": 64 if kind == "image" else 0,
+                        "height": 64 if kind == "image" else 0,
+                        "duration_s": float(did % 30) + 0.5 if kind != "image" else 0.0,
+                        "sample_rate": 16_000 if kind == "audio" else 0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def synth_media(n: int = 64, seed: int = 42) -> pd.DataFrame:
     """Deterministic media fixture table."""
     rng = np.random.default_rng(seed)
@@ -111,7 +147,10 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                         "kind": r.kind,
                         "n_bytes": len(bytes(r.payload)),
                         "sha1": hashlib.sha1(bytes(r.payload)).hexdigest(),
-                        "mean_val": float(vals.mean()) if len(vals) else None,
+                        # global mean of the DECODED samples (resize-
+                        # independent, so it is exactly SQL-checkable);
+                        # std_val stays a resized/thumb statistic
+                        "mean_val": float(data.sum() / len(data)) if len(data) else None,
                         "std_val": float(vals.std()) if len(vals) else None,
                         "n_frames_sampled": frames,
                         "thumb_w": tw,

@@ -5,14 +5,19 @@
   the arrays, double accumulation) inside a broadcast nested-loop join
   of the (small) query set against the corpus — no Python, no UDF.
 - :func:`lsh_cosine_topk` — the scale path: random-hyperplane LSH.
-  Each vector gets a ``n_planes``-bit signature (hyperplanes derived
-  from seeded xxhash64 → deterministic, no stored model); candidates
-  share a signature bucket (multi-probe over ``n_tables`` independent
-  tables), exact cosine re-ranks inside buckets. At 10^9 vectors the
-  bucket join replaces the O(n·q) cross product.
+  Each vector gets a ``n_planes``-bit signature against Rademacher
+  (±1) hyperplanes derived from md5 parity — deterministic, no stored
+  model, and embedded as LITERAL arrays in the plan so the DuckDB
+  oracle carries the identical planes; candidates share a signature
+  bucket (multi-probe over ``n_tables`` independent tables), exact
+  cosine re-ranks inside buckets. At 10^9 vectors the bucket join
+  replaces the O(n·q) cross product.
 """
 
 from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -62,25 +67,37 @@ def cosine_topk(
     )
 
 
+@lru_cache(maxsize=16)
+def rademacher_plane(table: int, plane: int, dim: int) -> tuple[float, ...]:
+    """Deterministic ±1 hyperplane: component j is +1 when the first
+    md5 hex digit of ``"{table}_{plane}_{j}"`` is odd. Pure-Python (one
+    md5 per component, computed once per process) — the DuckDB oracle
+    embeds the SAME literal array, so signatures agree bit-for-bit."""
+    return tuple(
+        1.0 if int(hashlib.md5(f"{table}_{plane}_{j}".encode()).hexdigest()[0], 16) % 2
+        else -1.0
+        for j in range(dim)
+    )
+
+
 def _signature(vec: Column, n_planes: int, table: int, dim: int) -> Column:
-    """Random-hyperplane signature: plane p's component j is derived
-    from xxhash64(table, p, j) mapped to {-1, +1} — deterministic,
-    seedable, and computable engine-side with zero stored state."""
+    """Random-hyperplane signature over literal Rademacher planes.
+    The sign test uses round(proj, 6): both engines round the projection
+    to the same grid before comparing against 0, so a last-ulp
+    summation difference cannot flip a bucket bit."""
     bits = []
     for p in range(n_planes):
-        comp = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j, p=p: F.when(
-                F.xxhash64(F.lit(table), F.lit(p), j).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
+        comp = F.array(*[F.lit(v) for v in rademacher_plane(table, p, dim)])
         proj = F.aggregate(
             F.zip_with(vec, comp, lambda x, c: x.cast("double") * c),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bits.append(F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")))
+        bits.append(
+            F.when(F.round(proj, 6) >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
     sig = bits[0]
     for b in bits[1:]:
         sig = sig.bitwiseOR(b)

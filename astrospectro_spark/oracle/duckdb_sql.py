@@ -341,6 +341,82 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
        w5 AS (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """,
+    "feature_vector_wide": """
+WITH g AS (
+  SELECT *, epoch_us(ts) AS u,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w)::DOUBLE / 1e6 AS gap_s,
+         row_number() OVER w AS rn,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END AS sb FROM g
+)
+SELECT event_id, user_id, u AS ts_us,
+  CAST(sum(sb) OVER wc AS BIGINT) AS session_id,
+  CAST(rn - coalesce(last_value(CASE WHEN sb = 1 THEN rn - 1 END IGNORE NULLS) OVER wc, 0)
+       AS BIGINT) AS turn_in_session,
+  CAST(rn AS BIGINT) AS turn_idx_user,
+  round(gap_s, 6) AS lag1_ts_gap_s,
+  round(value - lag(value, 1) OVER w, 6) AS lag1_value_delta,
+  round(value - lag(value, 2) OVER w, 6) AS lag2_value_delta,
+  round(value - lag(value, 3) OVER w, 6) AS lag3_value_delta,
+  last_value(CASE WHEN event_type IN ('purchase','signup') THEN event_type END
+             IGNORE NULLS) OVER wc AS backfill_marker,
+  count(*) OVER wr1 AS rate_1d,
+  count(*) OVER wr7 AS rate_7d,
+  round(avg(value) OVER w5, 6) AS roll_mean_value_5,
+  round(min(value) OVER w5, 6) AS roll_min_value_5,
+  round(max(value) OVER w5, 6) AS roll_max_value_5,
+  round(sum(value) OVER w5, 6) AS roll_sum_value_5,
+  CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) OVER wc AS BIGINT) AS cum_click,
+  CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) OVER wc AS BIGINT) AS cum_view,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER wc AS BIGINT) AS cum_purchase,
+  CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) OVER wc AS BIGINT) AS cum_signup,
+  CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) OVER wc AS BIGINT) AS cum_error,
+  round(sum(value) OVER wc, 6) AS cum_value_sum,
+  round((u - coalesce(last_value(CASE WHEN sb = 1 THEN u END IGNORE NULLS) OVER wc,
+                      min(u) OVER wp))::DOUBLE / 1e6, 6) AS session_elapsed_s,
+  round((u - min(u) OVER wp)::DOUBLE / 1e6, 6) AS time_since_start_s,
+  hour(ts)::INT AS hour_of_day,
+  (dayofweek(ts) + 1)::INT AS day_of_week,
+  (CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)::INT AS is_click,
+  (CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END)::INT AS is_view,
+  (CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::INT AS is_purchase,
+  (CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)::INT AS is_signup,
+  (CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)::INT AS is_error,
+  k AS k_value,
+  k IS NULL AS k_is_null,
+  round(ln(1 + value), 6) AS log1p_value,
+  round(1.0 / (1.0 + exp(-(value - 100) / 25)), 6) AS sigmoid_value,
+  round(exp(-0.5 * ((value - 120) / 30) * ((value - 120) / 30)), 6) AS gauss_value,
+  round(greatest(0.0, least(1.0, (value - 80) / 40)), 6) AS ramp_value,
+  round(least(greatest(value, 50.0), 150.0), 6) AS clip_value,
+  sign(value - 100)::DOUBLE AS sign_dev,
+  round(pow(10.0, value / 500), 6) AS pow10_scaled,
+  CAST(floor(value / 50) * 50 AS BIGINT) AS value_bin,
+  substr(event_type, 1, 1) AS type_prefix,
+  round(value - avg(value) OVER w5, 6) AS value_vs_roll,
+  round(value - round(avg(value) OVER wp, 6), 6) AS value_dev_user,
+  round(max(value) OVER wc, 6) AS run_max_value,
+  round(min(value) OVER wc, 6) AS run_min_value,
+  round(CASE WHEN max(value) OVER wc > 0 THEN value / (max(value) OVER wc) END, 6)
+    AS value_norm_run,
+  round(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER wc AS BIGINT)::DOUBLE
+        / rn, 6) AS pct_error_so_far,
+  round(lead(value) OVER w - value, 6) AS label_lead1_value_delta
+FROM s
+WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wc AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       wp AS (PARTITION BY user_id),
+       wr1 AS (PARTITION BY user_id ORDER BY u
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW),
+       wr7 AS (PARTITION BY user_id ORDER BY u
+               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW),
+       w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
     "median_normalize": """
 WITH med AS (
   SELECT user_id, quantile_cont(value, 0.5) AS m FROM events GROUP BY user_id
@@ -388,6 +464,65 @@ SELECT user_id,
        round((m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*m1*m1*m1*m1) / pow(m2 - m1*m1, 2) - 3, 5)
          AS kurtosis_excess
 FROM g
+""",
+    "profile_morphology": """
+WITH rr AS (
+  SELECT user_id, event_id, value, ts, epoch_us(ts) AS u,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id DESC) AS rmx
+  FROM events
+), w AS (
+  SELECT user_id, event_id, value, u,
+         max(value) OVER wp AS peak,
+         min(value) OVER wp AS base,
+         avg(value) OVER wp AS m1,
+         avg(value * value) OVER wp AS m2,
+         max(CASE WHEN rmx = 1 THEN u END) OVER wp AS center_us,
+         lag(value) OVER wo AS lv,
+         lag(u) OVER wo AS lu
+  FROM rr
+  WINDOW wp AS (PARTITION BY user_id),
+         wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *,
+         base + (peak - base) / 2 AS half,
+         base + (peak - base) * 0.05 AS base5,
+         ((value - base) + (lv - base)) / 2 * ((u - lu)::DOUBLE / 1e6) AS seg,
+         (u + lu)::DOUBLE / 2 AS mid
+  FROM w
+), g AS (
+  SELECT user_id, count(*) AS n,
+         round(max(peak) - max(base), 6) AS depth,
+         max(center_us) AS center_us,
+         round((max(CASE WHEN value >= half THEN u END)
+                - min(CASE WHEN value >= half THEN u END))::DOUBLE / 1e6, 6) AS core_width_s,
+         round((max(CASE WHEN value >= base5 THEN u END)
+                - min(CASE WHEN value >= base5 THEN u END))::DOUBLE / 1e6, 6) AS base_width_s,
+         round(coalesce(sum(CASE WHEN mid <= center_us THEN seg END), 0.0), 4) AS left_wing,
+         round(coalesce(sum(CASE WHEN mid > center_us THEN seg END), 0.0), 4) AS right_wing,
+         round(avg(CASE WHEN value > m1 + 2 * sqrt(m2 - m1 * m1)
+                   THEN 1.0 ELSE 0.0 END), 6) AS emission_idx
+  FROM s GROUP BY user_id
+)
+SELECT user_id, n, depth, center_us, core_width_s, base_width_s,
+       left_wing, right_wing, emission_idx,
+       round(CASE WHEN left_wing + right_wing <> 0
+             THEN (right_wing - left_wing) / (right_wing + left_wing) END, 6) AS asymmetry
+FROM g
+""",
+    "composite_features": """
+SELECT event_id, user_id,
+       round(1.0 / (1.0 + exp(-(value - 100) / 25)), 6) AS sigmoid_value,
+       round(exp(-0.5 * ((value - 120) / 30) * ((value - 120) / 30)), 6) AS gauss_value,
+       round(greatest(0.0, least(1.0, (value - 80) / 40)), 6) AS ramp_value,
+       round(CASE WHEN value > 0 THEN log10(value) END, 6) AS log10_value,
+       round(pow(10.0, value / 500), 6) AS pow10_scaled,
+       CAST(floor(value / 50) * 50 AS BIGINT) AS value_bin,
+       substr(event_type, 1, 1) AS type_prefix,
+       sign(value - 100)::DOUBLE AS sign_dev,
+       round(least(greatest(value, 50.0), 150.0), 6) AS clip_value,
+       round(value - CAST(json_extract_string(props, '$.k') AS BIGINT), 6) AS delta_value_k
+FROM events
 """,
     "argmax_position": """
 WITH r AS (
@@ -543,6 +678,78 @@ WITH toks AS (
 )
 SELECT id_a, id_b, lang, source, jaccard FROM pairs WHERE jaccard >= 0.2
 """,
+    "simhash": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), hw AS (
+  SELECT doc_id,
+         list_transform(t, tok -> {'w1': ('0x' || substr(md5(tok), 1, 8))::BIGINT,
+                                   'w2': ('0x' || substr(md5(tok), 9, 8))::BIGINT}) AS hs
+  FROM toks
+)
+SELECT doc_id,
+  CAST(list_sum(list_transform(range(0, 64), b ->
+    CASE WHEN list_sum(list_transform(hs, h ->
+           CASE WHEN ((CASE WHEN b < 32 THEN (h.w1 >> b) ELSE (h.w2 >> (b - 32)) END) & 1) = 1
+                THEN 1 ELSE -1 END)) > 0
+         THEN CASE WHEN b = 63 THEN (-9223372036854775807 - 1) ELSE (1::BIGINT << b) END
+         ELSE 0 END)) AS BIGINT) AS simhash
+FROM hw
+""",
+    "minhash_lsh": r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks
+), sig AS (
+  SELECT doc_id, s,
+         list_transform(range(1, 33), k ->
+           list_min(list_transform(s,
+             x -> ('0x' || substr(md5(k::VARCHAR || '|' || x), 1, 15))::BIGINT))) AS sig
+  FROM sh
+), bands AS (
+  SELECT doc_id, b AS band_id,
+         ('0x' || substr(md5(array_to_string(sig[b*4+1 : b*4+4], ',')), 1, 15))::BIGINT
+           AS band_hash
+  FROM sig CROSS JOIN range(0, 8) t(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT c.id_a, c.id_b,
+         round(CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+               THEN len(list_intersect(sa.s, sb.s))::DOUBLE
+                    / len(list_distinct(list_concat(sa.s, sb.s)))
+               ELSE 0.0 END, 6) AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.3
+""",
+    "media_features": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         (256 + (doc_id % 7) * 97) AS nb,
+         (doc_id % 30)::DOUBLE + 0.5 AS dur
+  FROM documents
+)
+SELECT media_id, kind, nb::BIGINT AS n_bytes,
+       round(list_sum(list_transform(range(0, nb),
+               i -> ((31 * media_id + 7 * i) % 256)::DOUBLE)) / nb, 6) AS mean_byte,
+       (CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN 0
+             ELSE greatest(1, media_id % 30) END)::INTEGER AS n_frames_sampled
+FROM m
+""",
     "cosine_topk": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
@@ -567,3 +774,122 @@ WITH q AS (
 SELECT query_id, cand_id, cosine, rank FROM r WHERE rank <= 5
 """,
 }
+
+
+# ----------------------------------------------------------------
+# Generated oracles: these embed the engine's OWN deterministic
+# constants (Savitzky-Golay projection rows; Rademacher hyperplanes) as
+# SQL literals, so both engines run the identical arithmetic.
+# ----------------------------------------------------------------
+
+
+def _fmt(v: float) -> str:
+    return repr(float(v))
+
+
+def _mac_sql(coeffs, samples) -> str:
+    """Left-assoc multiply-accumulate: matches kernels._mac bit-for-bit."""
+    return " + ".join(f"({_fmt(c)}) * {s}" for c, s in zip(coeffs, samples))
+
+
+def _savgol_sql() -> str:
+    from astrospectro_spark.engine.kernels import savgol_projection
+
+    h5 = savgol_projection(5, 2)
+    h4 = savgol_projection(4, 2)
+    y4 = [  # n=4 sample refs for rn=1..4
+        ["value", "f1", "f2", "f3"],
+        ["l1", "value", "f1", "f2"],
+        ["l2", "l1", "value", "f1"],
+        ["l3", "l2", "l1", "value"],
+    ]
+    n4 = " ".join(
+        f"WHEN {i+1} THEN {_mac_sql(h4[i], y4[i])}" for i in range(3)
+    ) + f" ELSE {_mac_sql(h4[3], y4[3])}"
+    head0 = _mac_sql(h5[0], ["value", "f1", "f2", "f3", "f4"])
+    head1 = _mac_sql(h5[1], ["l1", "value", "f1", "f2", "f3"])
+    mid = _mac_sql(h5[2], ["l2", "l1", "value", "f1", "f2"])
+    tail0 = _mac_sql(h5[3], ["l3", "l2", "l1", "value", "f1"])
+    tail1 = _mac_sql(h5[4], ["l4", "l3", "l2", "l1", "value"])
+    return f"""
+WITH o AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+         lag(value, 3) OVER w AS l3, lag(value, 4) OVER w AS l4,
+         lead(value, 1) OVER w AS f1, lead(value, 2) OVER w AS f2,
+         lead(value, 3) OVER w AS f3, lead(value, 4) OVER w AS f4
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sm AS (
+  SELECT event_id, user_id, value,
+    CASE
+      WHEN n <= 3 THEN value
+      WHEN n = 4 THEN CASE rn {n4} END
+      WHEN rn = 1 THEN {head0}
+      WHEN rn = 2 THEN {head1}
+      WHEN rn = n - 1 THEN {tail0}
+      WHEN rn = n THEN {tail1}
+      ELSE {mid}
+    END AS s
+  FROM o
+)
+SELECT event_id, user_id, round(s, 6) AS value_smooth,
+       round(value - s, 6) AS value_resid
+FROM sm
+"""
+
+
+def _lsh_cosine_sql(n_planes: int = 8, n_tables: int = 4, dim: int = 64, k: int = 5) -> str:
+    from astrospectro_spark.functions.similarity import rademacher_plane
+
+    def sig_expr(t: int) -> str:
+        terms = []
+        for p in range(n_planes):
+            arr = "[" + ", ".join(_fmt(v) for v in rademacher_plane(t, p, dim)) + "]::DOUBLE[]"
+            proj = (
+                f"list_reduce(list_transform(range(1, {dim + 1}), "
+                f"j -> (embedding)[j]::DOUBLE * ({arr})[j]), (a, x) -> a + x)"
+            )
+            terms.append(f"CASE WHEN round({proj}, 6) >= 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END")
+        return " + ".join(terms)
+
+    sigs = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS tbl, {sig_expr(t)} AS sig FROM embeddings"
+        for t in range(n_tables)
+    )
+    cos = """
+         list_sum(list_transform(range(1, 65),
+                  i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE))))"""
+    return f"""
+WITH sigs AS (
+{sigs}
+), q AS (
+  SELECT vec_id AS query_id, tbl, sig FROM sigs WHERE vec_id < 10
+), cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS cand_id
+  FROM q JOIN sigs c ON q.tbl = c.tbl AND q.sig = c.sig AND c.vec_id <> q.query_id
+), scored AS (
+  SELECT cand.query_id, cand.cand_id,
+         round({cos}, 6) AS cosine
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.cand_id
+), r AS (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+ORACLE_SQL["savgol_smooth"] = _savgol_sql()
+ORACLE_SQL["cosine_topk_lsh"] = _lsh_cosine_sql()

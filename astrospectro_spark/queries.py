@@ -450,6 +450,103 @@ def q_moments(spark, sf_dir):
     )
 
 
+def q_profile_morphology(spark, sf_dir):
+    """W7 line-profile morphology battery: the 10-metric composed
+    feature pack of the reference's _compute_line_features
+    (src/pipeline/feature_engineering.py:787-966) — depth, half-depth
+    core width, 5%-threshold base width, wing integrals, asymmetry,
+    emission index — grafted onto the per-entity value-vs-time profile.
+
+    ONE exchange: the profile stats (peak/base/moments/centre) are
+    unordered windows over user_id, the wing segments an ordered window
+    on the same key, the final groupBy reuses the partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    us = _us()
+    wp = Window.partitionBy("user_id")
+    wo = _W()
+    v = F.col("value")
+
+    peak = F.max(v).over(wp)
+    base = F.min(v).over(wp)
+    m1 = F.avg(v).over(wp)
+    m2 = F.avg(v * v).over(wp)
+    # argmax position with the same (value, event_id) tiebreak as
+    # q_argmax_position, carried as a struct max
+    center_us = F.max(F.struct(v.alias("v"), F.col("event_id").alias("e"), us.alias("u"))).over(wp).getField("u")
+    half = base + (peak - base) / 2
+    base5 = base + (peak - base) * 0.05
+    # trapezoid wing segments of (value - base), split at the centre by
+    # the segment midpoint
+    seg = (v - base + (F.lag(v).over(wo) - base)) / 2 * ((us - F.lag(us).over(wo)).cast("double") / 1e6)
+    mid = (us + F.lag(us).over(wo)).cast("double") / 2
+    d = (
+        ev.withColumn("_peak", peak)
+        .withColumn("_base", base)
+        .withColumn("_m1", m1)
+        .withColumn("_m2", m2)
+        .withColumn("_center", center_us)
+        .withColumn("_half", half)
+        .withColumn("_base5", base5)
+        .withColumn("_seg", seg)
+        .withColumn("_mid", mid)
+        .withColumn("_us", us)
+    )
+    std = F.sqrt(F.col("_m2") - F.col("_m1") * F.col("_m1"))
+    lw = F.sum(F.when(F.col("_mid") <= F.col("_center"), F.col("_seg"))).alias("lw")
+    rw = F.sum(F.when(F.col("_mid") > F.col("_center"), F.col("_seg"))).alias("rw")
+    g = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max("_peak") - F.max("_base"), 6).alias("depth"),
+        F.max("_center").alias("center_us"),
+        F.round(
+            (F.max(F.when(v >= F.col("_half"), F.col("_us")))
+             - F.min(F.when(v >= F.col("_half"), F.col("_us")))).cast("double") / 1e6,
+            6,
+        ).alias("core_width_s"),
+        F.round(
+            (F.max(F.when(v >= F.col("_base5"), F.col("_us")))
+             - F.min(F.when(v >= F.col("_base5"), F.col("_us")))).cast("double") / 1e6,
+            6,
+        ).alias("base_width_s"),
+        F.round(F.coalesce(lw, F.lit(0.0)), 4).alias("left_wing"),
+        F.round(F.coalesce(rw, F.lit(0.0)), 4).alias("right_wing"),
+        F.round(
+            F.avg(F.when(v > F.col("_m1") + 2 * std, 1.0).otherwise(0.0)), 6
+        ).alias("emission_idx"),
+    )
+    asym = F.when(
+        F.col("left_wing") + F.col("right_wing") != 0,
+        (F.col("right_wing") - F.col("left_wing")) / (F.col("right_wing") + F.col("left_wing")),
+    )
+    return g.withColumn("asymmetry", F.round(asym, 6))
+
+
+def q_composite_features(spark, sf_dir):
+    """K5 post-merge composite expression pipelines (the graft of
+    add_gaia_derived_features / add_photometric_composites /
+    add_line_composites, src/pipeline/feature_engineering.py:1403-1712):
+    sigmoid / Gaussian / ramp / log / pow / clip / sign / binning
+    composites as one row-wise withColumn chain (covers SURVEY C2, C5,
+    C6, C7, C8 in oracle-checked form)."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-(v - 100) / 25)), 6).alias("sigmoid_value"),
+        F.round(F.exp(F.lit(-0.5) * ((v - 120) / 30) * ((v - 120) / 30)), 6).alias("gauss_value"),
+        F.round(F.greatest(F.lit(0.0), F.least(F.lit(1.0), (v - 80) / 40)), 6).alias("ramp_value"),
+        F.round(F.when(v > 0, F.log10(v)), 6).alias("log10_value"),
+        F.round(F.pow(F.lit(10.0), v / 500), 6).alias("pow10_scaled"),
+        (F.floor(v / 50) * 50).cast("long").alias("value_bin"),
+        F.substring("event_type", 1, 1).alias("type_prefix"),
+        F.signum(v - 100).alias("sign_dev"),
+        F.round(F.least(F.greatest(v, F.lit(50.0)), F.lit(150.0)), 6).alias("clip_value"),
+        F.round(v - k, 6).alias("delta_value_k"),
+    )
+
+
 def q_argmax_position(spark, sf_dir):
     """argmax/argmin position (SURVEY §2.5 W8 — wavelength of flux max,
     src/pipeline/feature_engineering.py:752-754) via max_by/min_by."""
@@ -537,6 +634,111 @@ def q_feature_vector(spark, sf_dir):
         .cast("long")
         .alias("cum_purchase"),
         F.round(F.lead("value").over(w) - F.col("value"), 6).alias("label_lead1_value_delta"),
+    )
+
+
+def q_feature_vector_wide(spark, sf_dir):
+    """FLAGSHIP-WIDE: the 50-column locked per-turn feature schema in
+    ONE window plan — the growth of q_feature_vector's 13 columns
+    toward the reference's 174-feature battery
+    (src/pipeline/feature_engineering.py:1222-1358, dry-run name lock
+    :277-285). Every window shares partitionBy(user_id) (ordered, row-
+    frame, range-frame, and unordered variants of the SAME key), so
+    Catalyst plans a single hash exchange; turn_in_session and
+    session_elapsed_s use the boundary-carry trick instead of a second
+    (user, session) exchange. Composites (sigmoid/Gaussian/ramp/clip/
+    binning) are row-wise codegen expressions."""
+    ev = _t(spark, sf_dir, "events")
+    w = _W()
+    wcum = _wcum()
+    wp = Window.partitionBy("user_id")
+    us = _us()
+    v = F.col("value")
+    gap_s = (us - F.lag(us).over(w)).cast("double") / 1e6
+    df = (
+        ev.withColumn("_us", us)
+        .withColumn("_gap", gap_s)
+        .withColumn("_sb", F.when(gap_s > SESSION_GAP_S, 1).otherwise(0))
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    wr1 = wp.orderBy("_us").rangeBetween(-86_400 * 1_000_000, 0)
+    wr7 = wp.orderBy("_us").rangeBetween(-7 * 86_400 * 1_000_000, 0)
+    w5 = w.rowsBetween(-4, 0)
+    marker = F.when(F.col("event_type").isin("purchase", "signup"), F.col("event_type"))
+    sess_start = F.coalesce(
+        F.last(F.when(F.col("_sb") == 1, F.col("_us")), ignorenulls=True).over(wcum),
+        F.min("_us").over(wp),
+    )
+    k = F.get_json_object("props", "$.k").cast("long")
+    roll_mean = F.avg(v).over(w5)
+    run_max = F.max(v).over(wcum)
+    cum_err = (
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).over(wcum).cast("long")
+    )
+    return df.select(
+        "event_id",
+        "user_id",
+        F.col("_us").alias("ts_us"),
+        F.sum("_sb").over(wcum).cast("long").alias("session_id"),
+        (
+            F.col("_rn")
+            - F.coalesce(
+                F.last(F.when(F.col("_sb") == 1, F.col("_rn") - 1), ignorenulls=True).over(wcum),
+                F.lit(0),
+            )
+        ).cast("long").alias("turn_in_session"),
+        F.col("_rn").cast("long").alias("turn_idx_user"),
+        F.round(F.col("_gap"), 6).alias("lag1_ts_gap_s"),
+        F.round(v - F.lag(v, 1).over(w), 6).alias("lag1_value_delta"),
+        F.round(v - F.lag(v, 2).over(w), 6).alias("lag2_value_delta"),
+        F.round(v - F.lag(v, 3).over(w), 6).alias("lag3_value_delta"),
+        F.last(marker, ignorenulls=True).over(wcum).alias("backfill_marker"),
+        F.count(F.lit(1)).over(wr1).alias("rate_1d"),
+        F.count(F.lit(1)).over(wr7).alias("rate_7d"),
+        F.round(roll_mean, 6).alias("roll_mean_value_5"),
+        F.round(F.min(v).over(w5), 6).alias("roll_min_value_5"),
+        F.round(F.max(v).over(w5), 6).alias("roll_max_value_5"),
+        F.round(F.sum(v).over(w5), 6).alias("roll_sum_value_5"),
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .over(wcum)
+            .cast("long")
+            .alias(f"cum_{t}")
+            for t in ("click", "view", "purchase", "signup")
+        ],
+        cum_err.alias("cum_error"),
+        F.round(F.sum(v).over(wcum), 6).alias("cum_value_sum"),
+        F.round((F.col("_us") - sess_start).cast("double") / 1e6, 6).alias("session_elapsed_s"),
+        F.round((F.col("_us") - F.min("_us").over(wp)).cast("double") / 1e6, 6).alias(
+            "time_since_start_s"
+        ),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+        F.dayofweek("ts").cast("int").alias("day_of_week"),
+        *[
+            F.when(F.col("event_type") == t, 1).otherwise(0).cast("int").alias(f"is_{t}")
+            for t in ("click", "view", "purchase", "signup", "error")
+        ],
+        k.alias("k_value"),
+        k.isNull().alias("k_is_null"),
+        F.round(F.log1p(v), 6).alias("log1p_value"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-(v - 100) / 25)), 6).alias("sigmoid_value"),
+        F.round(F.exp(F.lit(-0.5) * ((v - 120) / 30) * ((v - 120) / 30)), 6).alias("gauss_value"),
+        F.round(F.greatest(F.lit(0.0), F.least(F.lit(1.0), (v - 80) / 40)), 6).alias("ramp_value"),
+        F.round(F.least(F.greatest(v, F.lit(50.0)), F.lit(150.0)), 6).alias("clip_value"),
+        F.signum(v - 100).alias("sign_dev"),
+        F.round(F.pow(F.lit(10.0), v / 500), 6).alias("pow10_scaled"),
+        (F.floor(v / 50) * 50).cast("long").alias("value_bin"),
+        F.substring("event_type", 1, 1).alias("type_prefix"),
+        F.round(v - roll_mean, 6).alias("value_vs_roll"),
+        # mean snapped to the 1e-6 grid first: a full-partition mean is
+        # summation-order sensitive at ~1e-13, which would make the raw
+        # deviation straddle round() boundaries between engines
+        F.round(v - F.round(F.avg(v).over(wp), 6), 6).alias("value_dev_user"),
+        F.round(run_max, 6).alias("run_max_value"),
+        F.round(F.min(v).over(wcum), 6).alias("run_min_value"),
+        F.round(F.when(run_max > 0, v / run_max), 6).alias("value_norm_run"),
+        F.round(cum_err.cast("double") / F.col("_rn"), 6).alias("pct_error_so_far"),
+        F.round(F.lead(v).over(w) - v, 6).alias("label_lead1_value_delta"),
     )
 
 
@@ -688,7 +890,8 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (xxhash64-based → rows-only check)."""
+    """MinHash+LSH near-dup candidates (md5-derived hashes → full
+    DuckDB oracle; band join shuffles ids only)."""
     from astrospectro_spark.functions.dedup import minhash_lsh_candidates
 
     d = _t(spark, sf_dir, "documents")
@@ -696,7 +899,7 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """64-bit SimHash per document (xxhash64-based → rows-only check)."""
+    """64-bit SimHash per document (md5-word bits → full DuckDB oracle)."""
     from astrospectro_spark.functions.dedup import simhash64
 
     d = _t(spark, sf_dir, "documents")
@@ -712,7 +915,8 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_cosine_topk_lsh(spark, sf_dir):
-    """random-hyperplane LSH ANN (xxhash64-based → rows-only check)."""
+    """random-hyperplane LSH ANN (literal md5-parity planes → full
+    DuckDB oracle runs the identical planes)."""
     from astrospectro_spark.functions.similarity import lsh_cosine_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -720,8 +924,10 @@ def q_cosine_topk_lsh(spark, sf_dir):
 
 
 # ================================================================
-# NumPy-kernel + multimodal operators (non-SQL-expressible → the
-# driver records rows-only checks; full verification is in tests/)
+# NumPy-kernel + multimodal operators — pandas/Arrow kernels on the
+# Spark side; each still carries an exact DuckDB oracle because the
+# kernels use fixed literal coefficients / closed-form payloads with
+# SQL-mirrored FP op ordering.
 # ================================================================
 
 
@@ -847,16 +1053,21 @@ def q_session_profiles(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     """multimodal binary-column pipeline (decode stubbed, plumbing
-    real): deterministic media fixture → mapInPandas features."""
+    real): documents-derived deterministic media table → mapInPandas
+    decode/feature kernel. Payloads are closed-form byte sequences so
+    the decoded statistics have an exact DuckDB oracle."""
     from astrospectro_spark.functions.multimodal import (
-        MEDIA_SCHEMA,
         extract_media_features,
-        synth_media,
+        media_from_docs,
     )
 
-    media = spark.createDataFrame(synth_media(128), MEDIA_SCHEMA).repartition(8)
+    media = media_from_docs(_t(spark, sf_dir, "documents")).repartition(8)
     return extract_media_features(media).select(
-        "media_id", "kind", "n_bytes", "sha1", F.round("mean_val", 6).alias("mean_val")
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round("mean_val", 6).alias("mean_byte"),
+        "n_frames_sampled",
     )
 
 
@@ -883,12 +1094,15 @@ QUERIES = {
     "winsorize": q_winsorize,
     "distinct_counts": q_distinct_counts,
     "feature_vector": q_feature_vector,
+    "feature_vector_wide": q_feature_vector_wide,
     "median_normalize": q_median_normalize,
     "class_median_transform": q_class_median_transform,
     "seeded_sample": q_seeded_sample,
     "embedding_neardup": q_embedding_neardup,
     "trapezoid_auc": q_trapezoid_auc,
     "moments": q_moments,
+    "profile_morphology": q_profile_morphology,
+    "composite_features": q_composite_features,
     "argmax_position": q_argmax_position,
     "pivot_avg": q_pivot_avg,
     "union_dedup": q_union_dedup,

@@ -34,6 +34,11 @@ def anchors_sdf(spark, anchors_pdf):
     return spark.createDataFrame(anchors_pdf)
 
 
+@pytest.fixture(scope="session")
+def documents_sdf(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
 def assert_frames_match(
     got: pd.DataFrame,
     want: pd.DataFrame,

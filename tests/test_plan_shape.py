@@ -57,6 +57,32 @@ def test_asof_single_exchange_no_python(spark, transcripts_sdf, anchors_sdf):
     assert "PythonUDF" not in plan
 
 
+def test_feature_vector_wide_single_exchange(spark):
+    """The 50-column wide vector must keep the one-exchange property:
+    every window variant shares partitionBy(user_id)."""
+    from astrospectro_spark.queries import q_feature_vector_wide
+
+    df = q_feature_vector_wide(spark, "/root/testdata/sf0.001")
+    plan = _formatted(spark, df)
+    c = _op_counts(plan)
+    assert c.get("Exchange", 0) == 1, c
+    assert "PythonUDF" not in plan
+    assert len(df.columns) == 50
+
+
+def test_minhash_band_exchange_carries_ids_only(spark, documents_sdf):
+    """The LSH band-bucket join must shuffle (band_id, band_hash, id)
+    only — the shingle arrays are re-attached AFTER candidate-pair
+    dedup, so the widest column never rides the widest shuffle."""
+    from astrospectro_spark.functions.dedup import minhash_lsh_candidates
+
+    plan = _formatted(spark, minhash_lsh_candidates(documents_sdf))
+    for m in re.finditer(r"^\(\d+\) Exchange\n(.*?)(?=^\(\d+\)|\Z)", plan, re.M | re.S):
+        block = m.group(1)
+        if "band_hash" in block:
+            assert "sh#" not in block and not re.search(r"\bsh\b", block), block
+
+
 def test_small_dim_join_broadcasts(spark, transcripts_sdf):
     from astrospectro_spark.engine.events import associate_ref_events
     from astrospectro_spark.engine.windows import sessionize

@@ -126,6 +126,11 @@ class FeatureRun:
             feats = self.featurizer(part)
             bucket_path = os.path.join(self.data_dir, f"bucket={b}")
             feats.write.mode("overwrite").parquet(bucket_path)
+            # release any hot-slice cache the salted featurizer pinned —
+            # a 64-bucket run must not accumulate 64 cached slices
+            from astrospectro_spark.engine.skew import release_cached
+
+            release_cached(feats)
             out = self.spark.read.parquet(bucket_path)
             n_rows, checksum = _checksum(out)
             self._append_lineage(

@@ -29,12 +29,9 @@ the job. AQE's skew-join splitting cannot split a window/groupBy key
    global values. Summary joins back broadcast.
 
 The result is bit-identical to :func:`engine.windows.featurize_expr`
-(asserted in tests with chunking forced on), while a hot conversation
-runs as k parallel tasks instead of 1.
-
-Constraint: chunks are row-balanced by ts-quantiles, so
-``chunk_target_rows`` must be ≫ ``roll_rows`` (default 100k vs 5) for
-the one-chunk-back row margin to suffice.
+(asserted in tests with chunking forced on, including pathological
+tiny chunks from duplicate-ts boundaries — the row margin reaches back
+across as many chunks as needed to collect ``roll_rows-1`` rows).
 """
 
 from __future__ import annotations
@@ -68,6 +65,7 @@ def featurize_salted(
     hot_threshold: int = DEFAULT_HOT_THRESHOLD,
     chunk_target_rows: int = DEFAULT_CHUNK_TARGET,
     persist_hot: bool = True,
+    include_text: bool = True,
 ) -> DataFrame:
     """featurize_expr semantics with hot conversations split into
     ts-range chunks that run as parallel tasks.
@@ -77,18 +75,25 @@ def featurize_salted(
     branches) and without a persist each consumer re-scans and
     re-decompresses the source (string decode dominates CPU). The hot
     slice is by definition a bounded fraction of the table (the skewed
-    conversations), so MEMORY_AND_DISK is safe at scale.
+    conversations), so MEMORY_AND_DISK is safe at scale. The cached
+    handle is registered on the returned DataFrame — call
+    :func:`release_cached` (FeatureRun does) after materialising the
+    result so long multi-bucket runs don't accumulate cached blocks.
     """
     census = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_n"))
     hot_census = census.filter(F.col("_n") > hot_threshold)
 
     cold = df.join(F.broadcast(hot_census.select("conv_id")), "conv_id", "left_anti")
     cold_out = featurize_expr(
-        cold, gap_s=gap_s, rate_window_s=rate_window_s, roll_rows=roll_rows
+        cold,
+        gap_s=gap_s,
+        rate_window_s=rate_window_s,
+        roll_rows=roll_rows,
+        include_text=include_text,
     )
 
     hot = df.join(F.broadcast(hot_census), "conv_id", "left_semi")
-    hot_out = _featurize_hot(
+    hot_out, handles = _featurize_hot(
         hot,
         hot_census,
         gap_s=gap_s,
@@ -96,8 +101,21 @@ def featurize_salted(
         roll_rows=roll_rows,
         chunk_target_rows=chunk_target_rows,
         persist_hot=persist_hot,
+        include_text=include_text,
     )
-    return cold_out.unionByName(hot_out)
+    out = cold_out.unionByName(hot_out.select(cold_out.columns))
+    out._astrospectro_cached = handles  # released via release_cached()
+    return out
+
+
+def release_cached(df: DataFrame) -> None:
+    """Unpersist any intermediate the salted featurizer cached for
+    ``df``. Call after the output is materialised (write/collect)."""
+    for h in getattr(df, "_astrospectro_cached", []):
+        try:
+            h.unpersist()
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
 
 
 GRID = 128
@@ -167,22 +185,34 @@ def _featurize_hot(
     roll_rows: int,
     chunk_target_rows: int,
     persist_hot: bool = True,
-) -> DataFrame:
+    include_text: bool = True,
+) -> tuple[DataFrame, list[DataFrame]]:
     k_rows = roll_rows - 1  # row-lookback margin
     margin_us = rate_window_s * 1_000_000
+
+    key_cols = KEY_COLS if include_text else [c for c in KEY_COLS if c != "text"]
+    text_len = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("int")
+    if include_text:
+        hot = hot.withColumn("text_len", text_len)
+    else:
+        # project the corpus column down to its length BEFORE any
+        # shuffle/persist — same contract as featurize_expr
+        hot = hot.select(*key_cols, text_len.alias("text_len"))
 
     # ---- 2. range salting: ts-quantile boundaries per hot conv
     bounds = compute_ts_bounds(hot, chunk_target_rows)
     hot = hot.join(F.broadcast(bounds), "conv_id")
     us = _us("ts")
     hot = hot.withColumn("_chunk", chunk_of("ts"))
+    handles: list[DataFrame] = []
     if persist_hot:
         hot = hot.persist()
+        handles.append(hot)
 
     # ---- 3. overlap margin: copy context rows into later chunks
     real = hot.withColumn("_ctx", F.lit(0)).withColumn("_tgt", F.col("_chunk"))
     # (a) time margin: a row is context for every chunk whose lower
-    # boundary b satisfies ts < b <= ts + margin (consecutive chunks).
+    # boundary b satisfies ts < b <= ts + margin (multi-chunk reach).
     n_time_copies = F.size(
         F.filter("_bounds", lambda b: (us < b) & (b <= us + F.lit(margin_us)))
     )
@@ -194,16 +224,48 @@ def _featurize_hot(
         .withColumn("_ctx", F.lit(1))
         .drop("_ncopies", "_k")
     )
-    # (b) row margin: last k_rows rows of each chunk serve the next chunk
+    # (b) row margin with MULTI-CHUNK reach-back: a row must serve every
+    # later chunk that starts fewer than k_rows rows after it — one
+    # chunk back is not enough when duplicate-ts boundaries produce a
+    # tiny chunk. Per-conv chunk row-counts (a <=GRID-entry array,
+    # broadcast) give the rows-between prefix; only rows in the last
+    # k_rows of their own chunk can ever qualify, so the O(k_chunks²)
+    # fold runs on ~k_rows rows per chunk.
+    ccounts = hot.groupBy("conv_id", "_chunk").agg(F.count(F.lit(1)).alias("_cnt"))
+    carr = ccounts.groupBy("conv_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_chunk").alias("c"), F.col("_cnt").alias("n")))
+        ).alias("_carr")
+    )
     wdesc = Window.partitionBy("conv_id", "_chunk").orderBy(
         F.col("ts").desc(), F.col("turn_idx").desc()
     )
+
+    def _rows_between(t):
+        return F.aggregate(
+            F.filter(
+                "_carr",
+                lambda e: (e.getField("c") > F.col("_chunk")) & (e.getField("c") < t),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e.getField("n"),
+        )
+
     row_ctx = (
         hot.withColumn("_rn_end", F.row_number().over(wdesc))
         .filter(F.col("_rn_end") <= k_rows)
-        .withColumn("_tgt", F.col("_chunk") + 1)
+        .join(F.broadcast(carr), "conv_id")
+        .withColumn(
+            "_tgts",
+            F.filter(
+                F.transform("_carr", lambda e: e.getField("c")),
+                lambda t: (t > F.col("_chunk"))
+                & (_rows_between(t) + F.col("_rn_end") <= k_rows),
+            ),
+        )
+        .withColumn("_tgt", F.explode("_tgts"))
         .withColumn("_ctx", F.lit(1))
-        .drop("_rn_end")
+        .drop("_rn_end", "_carr", "_tgts")
     )
     ctx = time_ctx.unionByName(row_ctx).dropDuplicates(
         ["conv_id", "turn_idx", "ts", "_tgt"]
@@ -215,7 +277,6 @@ def _featurize_hot(
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     is_real = F.col("_ctx") == 0
 
-    u = u.withColumn("text_len", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("int"))
     gap = (_us() - F.lag(_us()).over(w)).cast("double") / F.lit(1e6)
     u = u.withColumn("lag1_ts_gap_s", gap)
     u = u.withColumn(
@@ -329,4 +390,4 @@ def _featurize_hot(
         out = out.withColumn(
             f"cum_count_{r}", (F.col(f"_O_{r}") + F.col(f"_lc_{r}")).cast("int")
         )
-    return out.select(*KEY_COLS, *FEATURE_COLS)
+    return out.select(*key_cols, *FEATURE_COLS), handles

@@ -93,6 +93,7 @@ def featurize_expr(
     rate_window_s: int = RATE_WINDOW_S,
     roll_rows: int = ROLL_ROWS,
     include_labels: bool = False,
+    include_text: bool = True,
 ) -> DataFrame:
     """The full per-turn feature vector as ONE window-expression plan.
 
@@ -102,12 +103,26 @@ def featurize_expr(
     pipelined stage. A mega-conversation lands in a single task: for
     that case use :func:`astrospectro_spark.engine.skew.featurize_salted`,
     which chunk-splits hot conversations with lookback overlap.
+
+    ``include_text=False`` projects ``text`` down to ``text_len``
+    BEFORE the exchange: the feature table is keyed by
+    (conv_id, turn_idx) and the raw text stays in the source table, so
+    the shuffle carries an int instead of the corpus — at 10^12 turns
+    this cuts shuffled bytes by roughly the mean turn length. This is
+    the production featurize-job default; the text-carrying variant
+    exists for pipelines that materialise a denormalised table.
     """
     w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     us = _ts_us("ts")
 
-    df = df.withColumn("text_len", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("int"))
+    text_len = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("int")
+    if include_text:
+        key_cols = KEY_COLS
+        df = df.withColumn("text_len", text_len)
+    else:
+        key_cols = [c for c in KEY_COLS if c != "text"]
+        df = df.select(*key_cols, text_len.alias("text_len"))
     gap_us = us - F.lag(us).over(w)
     df = df.withColumn("lag1_ts_gap_s", gap_us.cast("double") / F.lit(1e6))
     df = df.withColumn(
@@ -158,7 +173,7 @@ def featurize_expr(
         "roll_mean_text_len_5",
         F.avg("text_len").over(w.rowsBetween(-(roll_rows - 1), Window.currentRow)),
     )
-    cols = KEY_COLS + FEATURE_COLS
+    cols = key_cols + FEATURE_COLS
     if include_labels:
         df = df.withColumn(
             "label_lead1_text_len", F.lead("text_len").over(w).cast("double")

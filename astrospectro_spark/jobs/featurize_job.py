@@ -31,6 +31,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-rows", type=int, default=500_000)
     p.add_argument("--master", default=None)
     p.add_argument("--gap-s", type=float, default=1800.0)
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help="resume from committed lineage (the default behaviour; "
+        "flag accepted for explicitness)",
+    )
+    p.add_argument(
+        "--include-text",
+        action="store_true",
+        help="carry raw text into the feature table (default: project "
+        "text to text_len below the exchange; join text back from the "
+        "source by (conv_id, turn_idx) when needed)",
+    )
     return p
 
 
@@ -51,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
             gap_s=args.gap_s,
             hot_threshold=args.hot_threshold,
             chunk_target_rows=args.chunk_rows,
+            include_text=args.include_text,
         )
 
     run = FeatureRun(
@@ -65,7 +79,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.anchors:
         anchors = spark.read.parquet(args.anchors)
-        out = asof_join(turns, anchors, tolerance_col="tolerance_s")
+        tol = "tolerance_s" if "tolerance_s" in anchors.columns else None
+        out = asof_join(turns, anchors, tolerance_col=tol)
         out.write.mode("overwrite").parquet(f"{args.output}/asof")
         print(f"asof: {out.count()} rows")
     return 0

@@ -378,12 +378,15 @@ def q_regression_slope(spark, sf_dir):
 def q_winsorize(spark, sf_dir):
     """global quantile clip + log transform (SURVEY §2.4 A4
     stabilize_spectral_features, src/pipeline/feature_engineering.py:1760-1793).
-    Exact percentile (not approx) so the oracle matches bit-for-bit."""
+    Exact percentile here so the oracle matches bit-for-bit; the
+    PRODUCTION path is functions.stats.winsorize(exact=False), which
+    uses the approx_percentile sketch (constant memory per partition —
+    exact global percentile is a scale-killer at 100 TB) and is
+    tolerance-tested against the exact bounds in tests/."""
+    from astrospectro_spark.functions.stats import quantile_bounds
+
     ev = _t(spark, sf_dir, "events")
-    q = ev.agg(
-        F.expr("percentile(value, 0.005)").alias("lo"),
-        F.expr("percentile(value, 0.995)").alias("hi"),
-    )
+    q = quantile_bounds(ev, "value", exact=True)
     clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
     return (
         ev.crossJoin(F.broadcast(q))

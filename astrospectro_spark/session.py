@@ -55,15 +55,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
-    # Shuffle/spill to tmpfs when available: in local mode all "shuffle"
-    # traffic is disk I/O on one host, and concurrent writers thrash a
-    # single block device long before the CPUs saturate. On a real
-    # cluster this conf is set by the platform (fast local SSDs) and
-    # this branch is a no-op.
-    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
-        os.makedirs(shm, exist_ok=True)
-        builder = builder.config("spark.local.dir", shm)
+    # Shuffle/spill dir override — OPT-IN via SPARK_GRAFT_LOCAL_DIR
+    # (bench harnesses set it to /dev/shm tmpfs: in local mode all
+    # "shuffle" traffic is disk I/O on one host and concurrent writers
+    # thrash a single block device long before the CPUs saturate).
+    # Not automatic: tmpfs shuffle plus MEMORY_AND_DISK spill both
+    # landing in RAM can exhaust memory on long unattended runs. On a
+    # real cluster the platform sets fast local SSDs and this is unset.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -24,6 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# benchmark methodology: shuffle to tmpfs so single-host disk I/O
+# doesn't masquerade as engine time (opt-in knob of session.get_spark)
+if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+    os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+
 
 def _synth_dir(sf: str) -> str:
     """Deterministic synth transcripts for this scale, cached in /tmp."""
@@ -80,14 +85,21 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     timed("featurize_transcripts", lambda: _force(featurize_expr(turns)))
-    from astrospectro_spark.engine.skew import featurize_salted
-
     timed(
-        "featurize_salted",
-        lambda: _force(
-            featurize_salted(turns, hot_threshold=100_000, chunk_target_rows=50_000)
-        ),
+        "featurize_feature_only",
+        lambda: _force(featurize_expr(turns, include_text=False)),
     )
+    from astrospectro_spark.engine.skew import featurize_salted, release_cached
+
+    def _salted():
+        df = featurize_salted(turns, hot_threshold=100_000, chunk_target_rows=50_000)
+        _force(df)
+        release_cached(df)
+
+    timed("featurize_salted", _salted)
+    from astrospectro_spark.queries import q_feature_vector_wide
+
+    timed("feature_vector_wide", lambda: _force(q_feature_vector_wide(spark, SF_DIR)))
     timed(
         "asof_anchors",
         lambda: _force(asof_join(turns, anchors, tolerance_col="tolerance_s")),

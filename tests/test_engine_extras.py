@@ -132,3 +132,28 @@ def test_csv_sentinel_coercion(spark, tmp_path):
     ).toPandas().sort_values("id")
     assert back["mag"].isna().tolist() == [False, True, True]
     assert back["name"].isna().tolist() == [False, True, False]
+
+
+def test_winsorize_approx_within_tolerance_of_exact(spark):
+    """Production approx_percentile bounds must land inside the
+    quantile neighbourhood of the exact bounds, and the clipped column
+    must differ only inside the tail mass the sketch may misplace."""
+    import numpy as np
+
+    from astrospectro_spark.functions.stats import quantile_bounds, winsorize
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = quantile_bounds(ev, "value", exact=True).collect()[0]
+    approx = quantile_bounds(ev, "value", exact=False).collect()[0]
+    vals = np.sort(np.array([r.value for r in ev.select("value").collect()]))
+    # rank error bound: 1/accuracy of n ranks (plus one for ties)
+    tol = max(3, int(len(vals) / 10_000) + 1)
+
+    def rank(x):
+        return np.searchsorted(vals, x)
+
+    assert abs(rank(approx.lo) - rank(exact.lo)) <= tol
+    assert abs(rank(approx.hi) - rank(exact.hi)) <= tol
+    out = winsorize(ev, "value", exact=False).select("value", "value_winsor").collect()
+    n_clipped = sum(1 for r in out if r.value != r.value_winsor)
+    assert 0 < n_clipped <= int(0.011 * len(vals)) + tol

@@ -29,6 +29,53 @@ def test_salted_noop_when_nothing_hot(spark, transcripts_sdf):
     assert_frames_match(salted, plain, SORT, rtol=0.0, atol=0.0)
 
 
+def test_salted_feature_only_matches_plain(spark, transcripts_sdf):
+    """include_text=False (production contract: text projected to
+    text_len below the exchange) must equal the text-carrying output
+    minus the text column, on both the plain and salted paths."""
+    plain = featurize_expr(transcripts_sdf, include_text=False).toPandas()
+    full = featurize_expr(transcripts_sdf).toPandas()
+    assert "text" not in plain.columns
+    assert_frames_match(plain, full.drop(columns=["text"]), SORT, rtol=0.0, atol=0.0)
+    salted = featurize_salted(
+        transcripts_sdf, hot_threshold=10, chunk_target_rows=37, include_text=False
+    ).toPandas()
+    assert_frames_match(salted, plain, SORT, rtol=0.0, atol=0.0)
+
+
+def test_salted_identical_with_pathological_tiny_chunks(spark):
+    """Heavy duplicate-ts boundaries make quantile chunks legitimately
+    smaller than roll_rows-1: the row margin must reach back across
+    multiple chunks or rolling features near chunk starts silently lose
+    history."""
+    import pandas as pd
+
+    rows = []
+    ts = pd.Timestamp("2024-01-01 00:00:00")
+    rn = 0
+    # bursts of duplicate timestamps; many distinct ts appear once, so
+    # tiny chunk_target forces chunks with 1-2 rows between bursts
+    for i in range(400):
+        n_dup = 1 if i % 3 else 7
+        for j in range(n_dup):
+            rows.append(
+                {
+                    "conv_id": "conv-hot",
+                    "turn_idx": rn,
+                    "role": ["user", "assistant", "tool", "system"][rn % 4],
+                    "text": "x" * (1 + (rn * 37) % 90),
+                    "tool": None if rn % 5 else f"tool{rn % 3}",
+                    "ts": ts,
+                }
+            )
+            rn += 1
+        ts += pd.Timedelta(seconds=[7, 45, 2401][i % 3])
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    salted = featurize_salted(sdf, hot_threshold=10, chunk_target_rows=2).toPandas()
+    plain = featurize_expr(sdf).toPandas()
+    assert_frames_match(salted, plain, SORT, rtol=0.0, atol=0.0)
+
+
 def test_salted_only_mega_conv_hot(spark, transcripts_sdf, transcripts_pdf):
     """Realistic setting: only the 30%-mega-conversation crosses the
     threshold; cold convs take the plain path, outputs must agree."""

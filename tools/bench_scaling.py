@@ -26,8 +26,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 JOB = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
+if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+    os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
 from astrospectro_spark.session import get_spark
-from astrospectro_spark.engine.skew import featurize_salted
+from astrospectro_spark.engine.skew import featurize_salted, release_cached
 from astrospectro_spark.engine.asof import asof_join_salted
 
 cpus = int(sys.argv[1]); syn = sys.argv[2]
@@ -44,12 +46,20 @@ n = turns.count()
 
 def force(df):
     df.write.format("noop").mode("overwrite").save()
+    release_cached(df)
 
 force(featurize_salted(turns.limit(2000)))  # warmup workers/codegen
+
+def run_featurize():
+    # production featurize contract: feature table keyed by
+    # (conv_id, turn_idx), text projected to text_len BELOW the
+    # exchange — the shuffle carries ints, not the corpus
+    force(featurize_salted(turns, hot_threshold=400_000,
+                           chunk_target_rows=200_000, include_text=False))
+
 res = {{}}
 for name, thunk in [
-    ("featurize", lambda: force(featurize_salted(
-        turns, hot_threshold=400_000, chunk_target_rows=200_000))),
+    ("featurize", run_featurize),
     ("asof", lambda: force(asof_join_salted(turns, anchors, tolerance_col="tolerance_s",
         hot_threshold=400_000, chunk_target_rows=200_000))),
 ]:

@@ -17,15 +17,15 @@ from astrospectro_spark.oracle.duckdb_sql import ORACLE_SQL
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: the full per-turn feature vector (sessionize +
-    lag/lead + backfill + rolling rate + cumulative role counts) over
-    the events table read as a transcript stream, joined as-of against
-    purchase anchors — the engine's minimum end-to-end slice
-    (SURVEY.md §7.1)."""
-    from astrospectro_spark.queries import q_asof_join, q_feature_vector
+    """Flagship query: the 50-column per-turn wide feature vector
+    (sessionize + lag/lead + backfill + rolling/range windows +
+    cumulative counters + composite expressions, ONE exchange) over the
+    events table read as a transcript stream, joined as-of against
+    purchase anchors — the engine's end-to-end slice (SURVEY.md §7.1)."""
+    from astrospectro_spark.queries import q_asof_join, q_feature_vector_wide
 
     sf_dir = "/root/testdata/sf0.001"
-    out = q_feature_vector(spark, sf_dir)
+    out = q_feature_vector_wide(spark, sf_dir)
     asof = q_asof_join(spark, sf_dir).select(
         "event_id", "asof_click_id", "asof_click_value"
     )

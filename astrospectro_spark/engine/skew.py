@@ -46,6 +46,8 @@ from astrospectro_spark.engine.windows import (
     ROLES,
     ROLL_ROWS,
     SESSION_GAP_S,
+    WIDE_FEATURE_COLS,
+    WIDE_RATE_S,
     featurize_expr,
 )
 
@@ -66,6 +68,7 @@ def featurize_salted(
     chunk_target_rows: int = DEFAULT_CHUNK_TARGET,
     persist_hot: bool = True,
     include_text: bool = True,
+    wide: bool = False,
 ) -> DataFrame:
     """featurize_expr semantics with hot conversations split into
     ts-range chunks that run as parallel tasks.
@@ -90,6 +93,7 @@ def featurize_salted(
         rate_window_s=rate_window_s,
         roll_rows=roll_rows,
         include_text=include_text,
+        wide=wide,
     )
 
     hot = df.join(F.broadcast(hot_census), "conv_id", "left_semi")
@@ -102,6 +106,7 @@ def featurize_salted(
         chunk_target_rows=chunk_target_rows,
         persist_hot=persist_hot,
         include_text=include_text,
+        wide=wide,
     )
     out = cold_out.unionByName(hot_out.select(cold_out.columns))
     out._astrospectro_cached = handles  # released via release_cached()
@@ -186,9 +191,12 @@ def _featurize_hot(
     chunk_target_rows: int,
     persist_hot: bool = True,
     include_text: bool = True,
+    wide: bool = False,
 ) -> tuple[DataFrame, list[DataFrame]]:
-    k_rows = roll_rows - 1  # row-lookback margin
-    margin_us = rate_window_s * 1_000_000
+    # row-lookback margin: rolling frames need roll_rows-1, wide lag3
+    # needs 3; time margin must cover the LARGEST range window
+    k_rows = max(roll_rows - 1, 3) if wide else roll_rows - 1
+    margin_us = max(rate_window_s, WIDE_RATE_S if wide else 0) * 1_000_000
 
     key_cols = KEY_COLS if include_text else [c for c in KEY_COLS if c != "text"]
     text_len = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("int")
@@ -311,7 +319,11 @@ def _featurize_hot(
         F.last(F.when(is_real, F.col("tool")), ignorenulls=True).over(wcum),
     )
     wrange = (
-        Window.partitionBy("conv_id", "_tgt").orderBy(_us()).rangeBetween(-margin_us, 0)
+        # the rate frame is the FEATURE's window (60s) — margin_us is the
+        # context-copy horizon, which may be wider (wide tier's 300s rate)
+        Window.partitionBy("conv_id", "_tgt")
+        .orderBy(_us())
+        .rangeBetween(-rate_window_s * 1_000_000, 0)
     )
     u = u.withColumn("rate_60s", F.count(F.lit(1)).over(wrange).cast("double"))
     for r in ROLES:
@@ -325,11 +337,68 @@ def _featurize_hot(
         "roll_mean_text_len_5",
         F.avg("text_len").over(w.rowsBetween(-(roll_rows - 1), Window.currentRow)),
     )
-    local = u.filter(is_real).drop("_ctx", "_sb")
+    if wide:
+        w5 = w.rowsBetween(-(roll_rows - 1), Window.currentRow)
+        tl = F.col("text_len")
+        us_e = _us()
+        wr300 = (
+            Window.partitionBy("conv_id", "_tgt")
+            .orderBy(us_e)
+            .rangeBetween(-WIDE_RATE_S * 1_000_000, 0)
+        )
+        u = (
+            u.withColumn("day_of_week", F.dayofweek("ts").cast("int"))
+            .withColumn("hour_of_day", F.hour("ts").cast("int"))
+            .withColumn("is_assistant", (F.col("role") == "assistant").cast("int"))
+            .withColumn("is_system", (F.col("role") == "system").cast("int"))
+            .withColumn("is_tool", (F.col("role") == "tool").cast("int"))
+            .withColumn("is_user", (F.col("role") == "user").cast("int"))
+            .withColumn("lag2_text_len_delta", (tl - F.lag(tl, 2).over(w)).cast("double"))
+            .withColumn("lag3_text_len_delta", (tl - F.lag(tl, 3).over(w)).cast("double"))
+            .withColumn("log1p_text_len", F.log1p(tl))
+            .withColumn("rate_300s", F.count(F.lit(1)).over(wr300).cast("double"))
+            .withColumn("roll_max_text_len_5", F.max(tl).over(w5).cast("int"))
+            .withColumn("roll_min_text_len_5", F.min(tl).over(w5).cast("int"))
+            .withColumn("roll_sum_text_len_5", F.sum(tl).over(w5).cast("long"))
+            .withColumn(
+                "sigmoid_text_len",
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-(tl - 200) / F.lit(80.0))),
+            )
+            .withColumn(
+                "tool_changed",
+                (~F.col("tool").eqNullSafe(F.lag("tool").over(w))).cast("int"),
+            )
+            .withColumn(
+                "turn_frac_day",
+                (us_e % F.lit(86_400_000_000)).cast("double") / F.lit(86_400_000_000.0),
+            )
+            # local cumulative text-len partial (real rows only) and the
+            # within-chunk last session-boundary ts (context rows carry
+            # _sb=0, so only real boundaries count — matching the plain
+            # plan, where the boundary row itself is real)
+            .withColumn(
+                "_lc_tlen",
+                F.sum(F.when(is_real, tl).otherwise(0)).over(wcum).cast("long"),
+            )
+            .withColumn(
+                "_local_start",
+                F.last(F.when(F.col("_sb") == 1, us_e), ignorenulls=True).over(wcum),
+            )
+        )
+    local = u.filter(is_real).drop("_ctx")
 
     # ---- 5. stitch: per-chunk summary → exclusive prefix offsets
     wchunk = Window.partitionBy("conv_id", "_tgt")
     local = local.withColumn("_sid_max", F.max("_local_sid").over(wchunk))
+    wide_aggs = (
+        [
+            F.sum("text_len").cast("long").alias("_c_tlen"),
+            F.max(F.when(F.col("_sb") == 1, _us())).alias("_last_b_us"),
+            F.min(_us()).alias("_min_us"),
+        ]
+        if wide
+        else []
+    )
     summ = local.groupBy("conv_id", "_tgt").agg(
         F.count(F.lit(1)).alias("_n"),
         F.max("_local_sid").alias("_sb_total"),
@@ -344,6 +413,7 @@ def _featurize_hot(
         F.max_by("_local_backfill", F.struct(F.col("ts"), F.col("turn_idx"))).alias(
             "_last_tool"
         ),
+        *wide_aggs,
     )
     wc = Window.partitionBy("conv_id").orderBy("_tgt")
     wprev = wc.rowsBetween(Window.unboundedPreceding, -1)
@@ -361,6 +431,18 @@ def _featurize_hot(
         F.when(F.col("_sb_total") > 0, F.struct(F.col("_CN"), F.col("_t_last"))),
         ignorenulls=True,
     ).over(wprev)
+    wide_summ_cols = []
+    if wide:
+        summ = summ.withColumn(
+            "_O_tlen", F.coalesce(F.sum("_c_tlen").over(wprev), F.lit(0))
+        )
+        summ = summ.withColumn(
+            "_carry_bus", F.last("_last_b_us", ignorenulls=True).over(wprev)
+        )
+        summ = summ.withColumn(
+            "_first_us", F.min("_min_us").over(Window.partitionBy("conv_id"))
+        )
+        wide_summ_cols = ["_O_tlen", "_carry_bus", "_first_us"]
     summ = summ.withColumn(
         "_T",
         F.when(last_b.isNull(), F.col("_CN_prev")).otherwise(
@@ -373,6 +455,7 @@ def _featurize_hot(
         "_T",
         "_carry",
         *[F.col(f"_O_{r}") for r in ROLES],
+        *wide_summ_cols,
     )
 
     out = local.join(F.broadcast(summ), ["conv_id", "_tgt"])
@@ -390,4 +473,16 @@ def _featurize_hot(
         out = out.withColumn(
             f"cum_count_{r}", (F.col(f"_O_{r}") + F.col(f"_lc_{r}")).cast("int")
         )
-    return out.select(*key_cols, *FEATURE_COLS), handles
+    feature_cols = FEATURE_COLS
+    if wide:
+        out = out.withColumn(
+            "cum_text_len", (F.col("_O_tlen") + F.col("_lc_tlen")).cast("long")
+        )
+        start_global = F.coalesce(
+            F.col("_local_start"), F.col("_carry_bus"), F.col("_first_us")
+        )
+        out = out.withColumn(
+            "session_elapsed_s", (_us() - start_global).cast("double") / F.lit(1e6)
+        )
+        feature_cols = FEATURE_COLS + WIDE_FEATURE_COLS
+    return out.select(*key_cols, *feature_cols), handles

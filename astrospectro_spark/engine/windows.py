@@ -50,6 +50,30 @@ FEATURE_COLS = [
     "turn_in_session",
 ]
 LABEL_COLS = ["label_lead1_text_len", "label_lead1_ts_gap_s"]
+# Wide tier (featurize_expr(wide=True)): row-local composites, extra
+# bounded lags/rolls, a second range window, and two more stitched
+# cumulative/carry features. Alphabetical, appended after FEATURE_COLS.
+WIDE_FEATURE_COLS = [
+    "cum_text_len",
+    "day_of_week",
+    "hour_of_day",
+    "is_assistant",
+    "is_system",
+    "is_tool",
+    "is_user",
+    "lag2_text_len_delta",
+    "lag3_text_len_delta",
+    "log1p_text_len",
+    "rate_300s",
+    "roll_max_text_len_5",
+    "roll_min_text_len_5",
+    "roll_sum_text_len_5",
+    "session_elapsed_s",
+    "sigmoid_text_len",
+    "tool_changed",
+    "turn_frac_day",
+]
+WIDE_RATE_S = 300
 FEATURE_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, "
     "ts timestamp, "
@@ -66,6 +90,50 @@ def _ts_us(col: str = "ts") -> Column:
     doubles (SURVEY.md §7.3 hard part a: float parity via fixed
     reduction order)."""
     return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def _wide_exprs(df, w, wcum, us, roll_rows, gap_s) -> DataFrame:
+    """The wide feature tier. Same single exchange: every window below
+    is another variant of partitionBy(conv_id). session_elapsed_s uses
+    the boundary-carry trick (ts of the last session boundary at or
+    before this row, else the conversation's first ts) instead of a
+    second (conv, session) exchange."""
+    w5 = w.rowsBetween(-(roll_rows - 1), Window.currentRow)
+    wp = Window.partitionBy("conv_id")
+    wr = Window.partitionBy("conv_id").orderBy(us).rangeBetween(
+        -WIDE_RATE_S * 1_000_000, 0
+    )
+    tl = F.col("text_len")
+    sb_us = F.when(F.col("lag1_ts_gap_s") > gap_s, us)
+    start = F.coalesce(F.last(sb_us, ignorenulls=True).over(wcum), F.min(us).over(wp))
+    return (
+        df.withColumn("cum_text_len", F.sum(tl).over(wcum).cast("long"))
+        .withColumn("day_of_week", F.dayofweek("ts").cast("int"))
+        .withColumn("hour_of_day", F.hour("ts").cast("int"))
+        .withColumn("is_assistant", (F.col("role") == "assistant").cast("int"))
+        .withColumn("is_system", (F.col("role") == "system").cast("int"))
+        .withColumn("is_tool", (F.col("role") == "tool").cast("int"))
+        .withColumn("is_user", (F.col("role") == "user").cast("int"))
+        .withColumn("lag2_text_len_delta", (tl - F.lag(tl, 2).over(w)).cast("double"))
+        .withColumn("lag3_text_len_delta", (tl - F.lag(tl, 3).over(w)).cast("double"))
+        .withColumn("log1p_text_len", F.log1p(tl))
+        .withColumn("rate_300s", F.count(F.lit(1)).over(wr).cast("double"))
+        .withColumn("roll_max_text_len_5", F.max(tl).over(w5).cast("int"))
+        .withColumn("roll_min_text_len_5", F.min(tl).over(w5).cast("int"))
+        .withColumn("roll_sum_text_len_5", F.sum(tl).over(w5).cast("long"))
+        .withColumn("session_elapsed_s", (us - start).cast("double") / F.lit(1e6))
+        .withColumn(
+            "sigmoid_text_len",
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-(tl - 200) / F.lit(80.0))),
+        )
+        .withColumn(
+            "tool_changed", (~F.col("tool").eqNullSafe(F.lag("tool").over(w))).cast("int")
+        )
+        .withColumn(
+            "turn_frac_day",
+            (us % F.lit(86_400_000_000)).cast("double") / F.lit(86_400_000_000.0),
+        )
+    )
 
 
 def sessionize(
@@ -94,6 +162,7 @@ def featurize_expr(
     roll_rows: int = ROLL_ROWS,
     include_labels: bool = False,
     include_text: bool = True,
+    wide: bool = False,
 ) -> DataFrame:
     """The full per-turn feature vector as ONE window-expression plan.
 
@@ -174,6 +243,9 @@ def featurize_expr(
         F.avg("text_len").over(w.rowsBetween(-(roll_rows - 1), Window.currentRow)),
     )
     cols = key_cols + FEATURE_COLS
+    if wide:
+        df = _wide_exprs(df, w, wcum, us, roll_rows, gap_s)
+        cols = cols + WIDE_FEATURE_COLS
     if include_labels:
         df = df.withColumn(
             "label_lead1_text_len", F.lead("text_len").over(w).cast("double")

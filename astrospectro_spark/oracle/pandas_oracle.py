@@ -30,6 +30,7 @@ def featurize_pdf(
     rate_window_s: int = RATE_WINDOW_S,
     roll_rows: int = ROLL_ROWS,
     include_labels: bool = False,
+    wide: bool = False,
 ) -> pd.DataFrame:
     """Featurize ONE conversation (or one contiguous chunk of one).
 
@@ -91,6 +92,51 @@ def featurize_pdf(
     out["text_len"] = text_len.astype("int32")
     out["tool_backfill"] = tool_backfill
     out["turn_in_session"] = turn_in_session
+
+    if wide:
+        out["cum_text_len"] = np.cumsum(text_len).astype("int64")
+        # Spark dayofweek: Sunday=1..Saturday=7; pandas: Monday=0
+        out["day_of_week"] = ((g["ts"].dt.dayofweek.to_numpy() + 1) % 7 + 1).astype(
+            "int32"
+        )
+        out["hour_of_day"] = g["ts"].dt.hour.to_numpy().astype("int32")
+        for r in ROLES:
+            out[f"is_{r}"] = (g["role"].to_numpy() == r).astype("int32")
+        for kk in (2, 3):
+            d = text_len.astype(np.float64) - np.roll(text_len, kk).astype(np.float64)
+            d[:kk] = np.nan
+            out[f"lag{kk}_text_len_delta"] = d
+        out["log1p_text_len"] = np.log1p(text_len.astype(np.float64))
+        lo300 = np.searchsorted(ts_us, ts_us - 300 * 1_000_000, side="left")
+        hi300 = np.searchsorted(ts_us, ts_us, side="right")
+        out["rate_300s"] = (hi300 - lo300).astype(np.float64)
+        s = pd.Series(text_len)
+        out["roll_max_text_len_5"] = s.rolling(roll_rows, min_periods=1).max().to_numpy()
+        out["roll_min_text_len_5"] = s.rolling(roll_rows, min_periods=1).min().to_numpy()
+        out["roll_sum_text_len_5"] = (
+            s.rolling(roll_rows, min_periods=1).sum().to_numpy().astype("int64")
+        )
+        # nullable Int64 keeps epoch-µs exact (float64 cannot represent
+        # ~1.7e18 µs, so a NaN-float ffill would shift the boundary ts)
+        sb = np.nan_to_num(gap_s_arr, nan=0.0) > gap_s
+        start = (
+            pd.Series(ts_us, dtype="Int64")
+            .where(pd.Series(sb))
+            .ffill()
+            .fillna(int(ts_us[0]))
+            .to_numpy(dtype="int64")
+        )
+        out["session_elapsed_s"] = (ts_us - start).astype(np.float64) / 1e6
+        out["sigmoid_text_len"] = 1.0 / (
+            1.0 + np.exp(-(text_len.astype(np.float64) - 200) / 80.0)
+        )
+        tv = [None if pd.isna(x) else x for x in g["tool"].tolist()]
+        prev_tv = [None] + tv[:-1]
+        out["tool_changed"] = np.array(
+            [0 if a == b or (a is None and b is None) else 1 for a, b in zip(tv, prev_tv)],
+            dtype="int32",
+        )
+        out["turn_frac_day"] = (ts_us % 86_400_000_000).astype(np.float64) / 86_400_000_000.0
 
     if include_labels:
         lead_len = np.roll(text_len, -1).astype(np.float64)

@@ -5,7 +5,12 @@ reimplementation'), on both execution paths."""
 from __future__ import annotations
 
 from astrospectro_spark.engine.featurize import featurize_grouped
-from astrospectro_spark.engine.windows import FEATURE_COLS, KEY_COLS, featurize_expr
+from astrospectro_spark.engine.windows import (
+    FEATURE_COLS,
+    KEY_COLS,
+    WIDE_FEATURE_COLS,
+    featurize_expr,
+)
 from astrospectro_spark.oracle import oracle_features
 
 from .conftest import assert_frames_match
@@ -17,6 +22,15 @@ def test_expr_path_matches_oracle(spark, transcripts_sdf, transcripts_pdf):
     got = featurize_expr(transcripts_sdf).toPandas()
     want = oracle_features(transcripts_pdf)
     assert list(got.columns) == KEY_COLS + FEATURE_COLS
+    assert_frames_match(got, want, SORT)
+
+
+def test_wide_expr_path_matches_oracle(spark, transcripts_sdf, transcripts_pdf):
+    """The 30-feature wide tier (extra lags/rolls, 300s rate, session
+    elapsed, composites) against the independent pandas oracle."""
+    got = featurize_expr(transcripts_sdf, wide=True).toPandas()
+    want = oracle_features(transcripts_pdf, wide=True)
+    assert list(got.columns) == KEY_COLS + FEATURE_COLS + WIDE_FEATURE_COLS
     assert_frames_match(got, want, SORT)
 
 

@@ -43,6 +43,17 @@ def test_salted_feature_only_matches_plain(spark, transcripts_sdf):
     assert_frames_match(salted, plain, SORT, rtol=0.0, atol=0.0)
 
 
+def test_salted_wide_identical_under_forced_chunking(spark, transcripts_sdf):
+    """The wide tier's extra stitched features (cum_text_len,
+    session_elapsed_s boundary carry) and bounded features (lag2/3,
+    rate_300s, roll min/max/sum) must survive chunking bit-for-bit."""
+    salted = featurize_salted(
+        transcripts_sdf, hot_threshold=10, chunk_target_rows=37, wide=True
+    ).toPandas()
+    plain = featurize_expr(transcripts_sdf, wide=True).toPandas()
+    assert_frames_match(salted, plain, SORT, rtol=0.0, atol=0.0)
+
+
 def test_salted_identical_with_pathological_tiny_chunks(spark):
     """Heavy duplicate-ts boundaries make quantile chunks legitimately
     smaller than roll_rows-1: the row margin must reach back across

@@ -113,26 +113,37 @@ def lsh_cosine_topk(
     n_planes: int = 8,
     n_tables: int = 4,
     dim: int = 64,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in at least one
-    of ``n_tables`` hyperplane tables; exact cosine re-ranks candidates."""
-    def with_sigs(df, idname):
+    of ``n_tables`` hyperplane tables; exact cosine re-ranks candidates.
+
+    ``multiprobe`` also probes every Hamming-distance-1 bucket on the
+    QUERY side (sig XOR one flipped plane bit): 1+n_planes probes per
+    (query, table) instead of more tables — recall rises at the cost of
+    a small bounded fan-out of the tiny query side, while the corpus
+    keeps exactly one bucket row per table (the side that matters at
+    10^9 vectors)."""
+    def with_sigs(df, idname, probe):
         out = df.select(F.col(id_col).alias(idname), F.col(vec_col).alias(f"{idname}_v"))
+        def probes(sig):
+            if not probe:
+                return [sig]
+            return [sig] + [sig.bitwiseXOR(F.lit(1 << p).cast("long")) for p in range(n_planes)]
+
         sigs = F.array(
             *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    _signature(F.col(f"{idname}_v"), n_planes, t, dim).alias("sig"),
-                )
+                F.struct(F.lit(t).alias("table"), s.alias("sig"))
                 for t in range(n_tables)
+                for s in probes(_signature(F.col(f"{idname}_v"), n_planes, t, dim))
             ]
         )
         return out.withColumn("b", F.explode(sigs)).select(
             idname, f"{idname}_v", "b.table", "b.sig"
         )
 
-    qs = with_sigs(queries, "query_id")
-    cs = with_sigs(corpus, "cand_id")
+    qs = with_sigs(queries, "query_id", multiprobe)
+    cs = with_sigs(corpus, "cand_id", False)
     cand = (
         cs.join(qs, ["table", "sig"])
         .filter(F.col("cand_id") != F.col("query_id"))

@@ -855,6 +855,7 @@ def _lsh_cosine_sql(n_planes: int = 8, n_tables: int = 4, dim: int = 64, k: int 
             terms.append(f"CASE WHEN round({proj}, 6) >= 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END")
         return " + ".join(terms)
 
+    n_probes = n_planes + 1  # exact bucket + one flip per plane
     sigs = "\nUNION ALL\n".join(
         f"SELECT vec_id, {t} AS tbl, {sig_expr(t)} AS sig FROM embeddings"
         for t in range(n_tables)
@@ -870,7 +871,12 @@ def _lsh_cosine_sql(n_planes: int = 8, n_tables: int = 4, dim: int = 64, k: int 
 WITH sigs AS (
 {sigs}
 ), q AS (
-  SELECT vec_id AS query_id, tbl, sig FROM sigs WHERE vec_id < 10
+  -- multi-probe: the exact bucket plus every Hamming-1 bucket
+  SELECT vec_id AS query_id, tbl,
+         CASE WHEN pr = 0 THEN sig
+              ELSE xor(sig, 1::BIGINT << (pr - 1)) END AS sig
+  FROM sigs CROSS JOIN range(0, {n_probes}) t(pr)
+  WHERE vec_id < 10
 ), cand AS (
   SELECT DISTINCT q.query_id, c.vec_id AS cand_id
   FROM q JOIN sigs c ON q.tbl = c.tbl AND q.sig = c.sig AND c.vec_id <> q.query_id

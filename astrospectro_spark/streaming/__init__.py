@@ -1,1 +1,5 @@
-from .session_stream import stream_featurize, stream_session_stats  # noqa: F401
+from .session_stream import (  # noqa: F401
+    stateful_featurize,
+    stream_featurize,
+    stream_session_stats,
+)

@@ -57,6 +57,96 @@ def stream_session_stats(
     )
 
 
+STATEFUL_OUT_SCHEMA = (
+    "conv_id string, turn_idx int, ts timestamp, session_id int, "
+    "turn_in_session int, cum_count_assistant int, cum_count_system int, "
+    "cum_count_tool int, cum_count_user int, tool_backfill string, "
+    "lag1_ts_gap_s double"
+)
+_STATE_SCHEMA = (
+    "last_us long, sid int, tis int, n_assistant int, n_system int, "
+    "n_tool int, n_user int, last_tool string"
+)
+
+
+def stateful_featurize(stream_df: DataFrame, gap_s: float = 1800.0):
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (the north_star's named API): per-conversation running state
+    (last ts, session counter, per-role cumulative counts, tool
+    backfill) carried across micro-batches, emitting per-turn
+    incremental features.
+
+    With turns arriving in (ts, turn_idx) order per conversation
+    (within-batch disorder is sorted; cross-batch order is the
+    source's contract, enforced upstream by watermark + sort), the
+    emitted cumulative features equal the batch engine's — asserted
+    stream==batch in tests. State is O(1) per conversation (8 scalars),
+    so 10^9 live conversations hold ~tens of GB of state cluster-wide,
+    partitioned by the same conv_id hash as every other operator.
+
+    This is the stateful-kernel tier (per-row Python over state
+    transitions); the batch path stays expression-only — kernel cost is
+    bounded by the increment size, never the history.
+    """
+    import pandas as pd  # noqa: F401
+
+    def fn(key, pdf_iter, state):
+        import pandas as _pd
+
+        (conv_id,) = key
+        if state.exists:
+            last_us, sid, tis, na, ns, nt, nu, last_tool = state.get
+        else:
+            last_us, sid, tis, na, ns, nt, nu, last_tool = (-1, 0, 0, 0, 0, 0, 0, None)
+        out = []
+        for pdf in pdf_iter:
+            g = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+            us_arr = g["ts"].to_numpy("datetime64[us]").astype("int64")
+            for i, r in enumerate(g.itertuples(index=False)):
+                us = int(us_arr[i])
+                gap = None if last_us < 0 else (us - last_us) / 1e6
+                if gap is not None and gap > gap_s:
+                    sid += 1
+                    tis = 1
+                else:
+                    tis += 1
+                role = r.role
+                na += role == "assistant"
+                ns += role == "system"
+                nt += role == "tool"
+                nu += role == "user"
+                if r.tool is not None and not _pd.isna(r.tool):
+                    last_tool = r.tool
+                out.append(
+                    {
+                        "conv_id": conv_id,
+                        "turn_idx": r.turn_idx,
+                        "ts": r.ts,
+                        "session_id": sid,
+                        "turn_in_session": tis,
+                        "cum_count_assistant": na,
+                        "cum_count_system": ns,
+                        "cum_count_tool": nt,
+                        "cum_count_user": nu,
+                        "tool_backfill": last_tool,
+                        "lag1_ts_gap_s": gap,
+                    }
+                )
+                last_us = us
+        state.update((last_us, sid, tis, na, ns, nt, nu, last_tool))
+        yield _pd.DataFrame(out)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream_df.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=STATEFUL_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_featurize(stream_df: DataFrame, out_path: str, checkpoint: str):
     """Micro-batch featurization: each increment runs the batch engine
     and appends to the features table — exactly-once via checkpoint +

@@ -59,6 +59,73 @@ def test_stream_featurize_foreachbatch(spark, transcripts_pdf, tmp_path):
     assert "session_id" in feats.columns and "batch_id" in feats.columns
 
 
+def test_stateful_featurize_matches_batch(spark, transcripts_pdf, tmp_path):
+    """applyInPandasWithState running featurizer: cumulative features
+    carried across micro-batches must equal the batch engine. Input is
+    split into 3 ts-ordered files (mtime-ordered so the file source
+    delivers them as sequential micro-batches with maxFilesPerTrigger=1)."""
+    import time
+
+    from astrospectro_spark.engine.windows import featurize_expr
+    from astrospectro_spark.streaming import stateful_featurize
+
+    src = tmp_path / "state_src"
+    src.mkdir()
+    pdf = transcripts_pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+    cuts = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+    for i in range(3):
+        part = pdf.iloc[cuts[i] : cuts[i + 1]]
+        p = str(src / f"part-{i:03d}.parquet")
+        spark.createDataFrame(part).coalesce(1).write.mode("overwrite").parquet(p)
+        time.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "part-*.parquet"))
+    )
+    q = (
+        stateful_featurize(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_feats")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.sql("select * from stateful_feats")
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    want = (
+        featurize_expr(spark.createDataFrame(transcripts_pdf))
+        .select(
+            "conv_id", "turn_idx", "ts", "session_id", "turn_in_session",
+            "cum_count_assistant", "cum_count_system", "cum_count_tool",
+            "cum_count_user", "tool_backfill", "lag1_ts_gap_s",
+        )
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in want.columns:
+        a, b = got[c], want[c]
+        if b.dtype.kind == "f":
+            import numpy as np
+
+            assert np.allclose(
+                a.to_numpy(float), b.to_numpy(float), rtol=0, atol=0, equal_nan=True
+            ), c
+        else:
+            av = a.astype(object).where(a.notna(), None).tolist()
+            bv = b.astype(object).where(b.notna(), None).tolist()
+            assert av == bv, c
+
+
 def test_associate_ref_events(spark, transcripts_sdf):
     from astrospectro_spark.engine.events import associate_ref_events, flatten_event_matches
     from astrospectro_spark.engine.windows import sessionize

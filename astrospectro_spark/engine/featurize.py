@@ -23,8 +23,32 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from astrospectro_spark.engine.windows import FEATURE_SCHEMA
+from astrospectro_spark.engine.windows import FEATURE_SCHEMA, WIDE_FEATURE_COLS
 from astrospectro_spark.oracle.pandas_oracle import featurize_pdf
+
+_WIDE_TYPES = {
+    "cum_text_len": "long",
+    "day_of_week": "int",
+    "hour_of_day": "int",
+    "is_assistant": "int",
+    "is_system": "int",
+    "is_tool": "int",
+    "is_user": "int",
+    "lag2_text_len_delta": "double",
+    "lag3_text_len_delta": "double",
+    "log1p_text_len": "double",
+    "rate_300s": "double",
+    "roll_max_text_len_5": "double",
+    "roll_min_text_len_5": "double",
+    "roll_sum_text_len_5": "long",
+    "session_elapsed_s": "double",
+    "sigmoid_text_len": "double",
+    "tool_changed": "int",
+    "turn_frac_day": "double",
+}
+WIDE_SCHEMA = FEATURE_SCHEMA + ", " + ", ".join(
+    f"{c} {_WIDE_TYPES[c]}" for c in WIDE_FEATURE_COLS
+)
 
 
 def featurize_grouped(
@@ -32,6 +56,7 @@ def featurize_grouped(
     gap_s: float = 1800.0,
     rate_window_s: int = 60,
     roll_rows: int = 5,
+    wide: bool = False,
 ) -> DataFrame:
     """One Arrow batch per conversation → pandas kernel → feature rows.
 
@@ -47,7 +72,9 @@ def featurize_grouped(
 
     def kernel(pdf):
         return featurize_pdf(
-            pdf, gap_s=gap_s, rate_window_s=rate_window_s, roll_rows=roll_rows
+            pdf, gap_s=gap_s, rate_window_s=rate_window_s, roll_rows=roll_rows, wide=wide
         )
 
-    return df.groupBy("conv_id").applyInPandas(kernel, schema=FEATURE_SCHEMA)
+    return df.groupBy("conv_id").applyInPandas(
+        kernel, schema=WIDE_SCHEMA if wide else FEATURE_SCHEMA
+    )

@@ -40,6 +40,12 @@ def test_grouped_path_matches_expr(spark, transcripts_sdf):
     assert_frames_match(grouped, expr, SORT)
 
 
+def test_grouped_wide_matches_expr_wide(spark, transcripts_sdf):
+    grouped = featurize_grouped(transcripts_sdf, wide=True).toPandas()
+    expr = featurize_expr(transcripts_sdf, wide=True).toPandas()
+    assert_frames_match(grouped, expr, SORT)
+
+
 def test_text_byte_identical(spark, transcripts_sdf, transcripts_pdf):
     """Per-turn text equality under stable turn ordering (input_hint
     invariant): unicode / newlines / pipes must round-trip untouched."""

@@ -46,6 +46,23 @@ def test_grouped_path_zero_leakage(spark, transcripts_pdf):
     _run_audit(spark, transcripts_pdf, featurize_grouped)
 
 
+def test_wide_tier_zero_leakage(spark, transcripts_pdf):
+    """Every wide feature (session_elapsed carry, cumulative text
+    length, extra lags/rolls/rates, calendar/composites) must also be
+    strictly backward-looking."""
+    _run_audit(spark, transcripts_pdf, lambda sdf: featurize_expr(sdf, wide=True))
+
+
+def test_salted_wide_zero_leakage(spark, transcripts_pdf):
+    from astrospectro_spark.engine.skew import featurize_salted
+
+    _run_audit(
+        spark,
+        transcripts_pdf,
+        lambda sdf: featurize_salted(sdf, hot_threshold=10, chunk_target_rows=37, wide=True),
+    )
+
+
 def test_labels_do_leak_by_design(spark, transcripts_pdf):
     """Sanity check the audit has teeth: lead-based label_ columns MUST
     change when the future is poisoned (they are targets, not features)."""

@@ -160,6 +160,12 @@ FROM events
 WHERE user_id IN (SELECT user_id FROM events GROUP BY user_id HAVING count(*) >= 60)
 GROUP BY user_id
 """,
+    "class_exclusion": """
+SELECT event_type, count(*) AS n_events, round(avg(value), 6) AS avg_value
+FROM events
+WHERE event_type IS NOT NULL AND event_type NOT IN ('error', 'signup')
+GROUP BY event_type
+""",
     "sentinel_nullify": """
 SELECT event_type,
        CAST(sum(CASE WHEN value >= 190.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nulled,
@@ -235,8 +241,8 @@ FROM events ORDER BY sample_key LIMIT 100
 )
 SELECT mu.user_id, mu.session_id, mu.n_events,
        round(CASE WHEN tot > 0 THEN amp END, 6) AS amp,
-       round(mu.mu, 6) AS mu_s,
-       round(CASE WHEN tot > 0 THEN (2 * sqrt(2 * ln(2))) * sqrt(svar / tot) END, 6)
+       round(mu.mu, 4) AS mu_s,
+       round(CASE WHEN tot > 0 THEN (2 * sqrt(2 * ln(2))) * sqrt(svar / tot) END, 4)
          AS fwhm_s
 FROM mu JOIN v USING (user_id, session_id)
 """,

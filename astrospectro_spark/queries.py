@@ -290,6 +290,26 @@ def q_rare_class_filter(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------- F5/F6
+def q_class_exclusion(spark, sf_dir):
+    """invalid-label / class-exclusion filter (SURVEY §2.2 F5/F6 —
+    the reference drops rows whose label is NULL, 'Unknown' or in an
+    excluded class set, src/pipeline/classifier.py:771-796). NULL-safe
+    by construction: `~isin` alone silently drops NULL labels on both
+    engines, so the NULL branch is explicit."""
+    ev = _t(spark, sf_dir, "events")
+    bad = ("error", "signup")
+    keep = F.col("event_type").isNotNull() & ~F.col("event_type").isin(*bad)
+    return (
+        ev.filter(keep)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- F3 sentinel
 def q_sentinel_nullify(spark, sf_dir):
     """sentinel→NULL coercion (SURVEY §2.2 F3 magnitude-99 rule,
@@ -1036,14 +1056,18 @@ def q_session_profiles(spark, sf_dir):
                 amp, mu_s, fwhm = w.max(), mu, fwhm_k * np.sqrt(var)
             else:
                 amp = mu_s = fwhm = None
+            # amp is a max (exact both engines) → round 6; mu/fwhm are
+            # weighted-moment sums whose summation ORDER differs between
+            # numpy (pairwise) and SQL (sequential) by ~1e-11 on large
+            # sessions → round 4 keeps the cross-engine hash stable
             rows.append(
                 {
                     "user_id": g["user_id"].iloc[0],
                     "session_id": int(s),
                     "n_events": int(m.sum()),
                     "amp": None if amp is None else round(amp, 6),
-                    "mu_s": None if mu_s is None else round(mu_s, 6),
-                    "fwhm_s": None if fwhm is None else round(fwhm, 6),
+                    "mu_s": None if mu_s is None else round(mu_s, 4),
+                    "fwhm_s": None if fwhm is None else round(fwhm, 4),
                 }
             )
         return pd.DataFrame(rows)
@@ -1089,6 +1113,7 @@ QUERIES = {
     "ledger_anti_join": q_ledger_anti_join,
     "broadcast_enrich": q_broadcast_enrich,
     "rare_class_filter": q_rare_class_filter,
+    "class_exclusion": q_class_exclusion,
     "sentinel_nullify": q_sentinel_nullify,
     "topk_classes": q_topk_classes,
     "pricing_summary": q_pricing_summary,

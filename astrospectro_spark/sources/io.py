@@ -63,3 +63,19 @@ def read_catalog_csv(
     for c in sentinel_unknown_cols:
         df = df.withColumn(c, F.when(F.col(c) == "UNKNOWN", None).otherwise(F.col(c)))
     return df
+
+
+def latest_version(base_dir: str, pattern: str = "*") -> str | None:
+    """Latest-by-mtime selection (SURVEY §2.6 O4 — the reference picks
+    the newest catalog file with ``max(glob, key=getmtime)``,
+    src/tools/dataset_builder.py:94-100). Driver-side by design: it
+    selects ONE path before any distributed read; the distributed
+    analogue at cluster scale is the Iceberg snapshot id recorded in the
+    lineage table."""
+    import glob as _glob
+    import os as _os
+
+    paths = _glob.glob(_os.path.join(base_dir, pattern))
+    if not paths:
+        return None
+    return max(paths, key=_os.path.getmtime)

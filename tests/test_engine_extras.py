@@ -157,3 +157,17 @@ def test_winsorize_approx_within_tolerance_of_exact(spark):
     out = winsorize(ev, "value", exact=False).select("value", "value_winsor").collect()
     n_clipped = sum(1 for r in out if r.value != r.value_winsor)
     assert 0 < n_clipped <= int(0.011 * len(vals)) + tol
+
+
+def test_latest_version_by_mtime(tmp_path):
+    import os
+    import time
+
+    from astrospectro_spark.sources.io import latest_version
+
+    for i, name in enumerate(["cat_a.csv", "cat_b.csv", "cat_c.csv"]):
+        p = tmp_path / name
+        p.write_text("x")
+        os.utime(p, (time.time() - 100 + i, time.time() - 100 + i))
+    assert latest_version(str(tmp_path), "cat_*.csv").endswith("cat_c.csv")
+    assert latest_version(str(tmp_path), "nope_*.csv") is None

@@ -3,15 +3,20 @@ efficiency >= 0.8 between N and 4N executors).
 
 No real cluster exists in this sandbox, so per BASELINE.md the evidence
 is the identical job at two local parallelism levels on the same input:
-``local[8]`` vs ``local[32]``. Each level runs in a FRESH JVM
-(subprocess) so thread pools, codegen caches and shuffle state can't
-leak between measurements. Efficiency = (throughput_32 / throughput_8) / 4.
+``local[$SCALE_N]`` vs ``local[4*$SCALE_N]`` (default N=2; the recorded
+primary pair is N=1 vs 4). Each level runs in a FRESH JVM (subprocess)
+so thread pools, codegen caches and shuffle state can't leak between
+measurements; levels alternate and the min over reps is kept per level
+(the host shows multi-minute CPU-steal episodes).
+Efficiency = (throughput_4N / throughput_N) / 4.
 
 The measured job is the flagship end-to-end feature pipeline
-(salted featurize + as-of join) at sf1 (6M turns, mega-conversation =
-1.8M turns — the skew engine's regime). Writes BENCH/BASELINE.md.
+(salted featurize with include_text=False + as-of join) at sf3
+(18M turns, mega-conversation = 5.4M turns — the skew engine's regime).
+Writes BENCH/BASELINE.md (the curated narrative there merges reps across
+runs; this tool's output is the raw per-run table).
 
-Usage: python tools/bench_scaling.py [scale] [--quick]
+Usage: SCALE_N=1 SCALE_REPS=3 python tools/bench_scaling.py sf3
 """
 
 from __future__ import annotations

@@ -14,6 +14,13 @@ jar ships in this sandbox):
   (``pmod(xxhash64(conv_id), n)``) — at cluster scale each bucket is an
   Iceberg partition and the per-bucket write is an atomic snapshot
   commit;
+- the input is scanned exactly ONCE per run: a pre-stage pass writes it
+  partitioned by ``_bucket`` (hash buckets are not derivable by the
+  scan, so a per-bucket filter on the raw source would re-scan the
+  full table once per bucket — 64 full reads of 100 TB); each bucket
+  then reads only its own partition directory (partition pruning,
+  plan-audited in tests). The stage is reused on resume (its
+  ``_SUCCESS`` marker is the commit);
 - each bucket commit appends one lineage record
   ``(run_id, bucket, n_rows, checksum, input_rows, input_checksum,
   status)`` to the lineage table *after* its output partition lands —
@@ -79,6 +86,7 @@ class FeatureRun:
         self.run_id = run_id
         self.lineage_dir = os.path.join(out_dir, "_lineage")
         self.data_dir = os.path.join(out_dir, "features")
+        self.stage_dir = os.path.join(out_dir, "_staged")
 
     # -- lineage table ------------------------------------------------
     def lineage(self) -> DataFrame:
@@ -107,6 +115,21 @@ class FeatureRun:
             self.lineage_dir
         )
 
+    # -- staging --------------------------------------------------------
+    def _stage(self, turns: DataFrame) -> DataFrame:
+        """Write the input ONCE, partitioned by hash bucket; reuse on
+        resume. Returns the staged frame, whose per-bucket filter is a
+        partition-pruned directory read instead of a full-table scan.
+        The staged copy is keyed to this out_dir: callers re-running
+        with a DIFFERENT input table must use a fresh out_dir (same
+        contract as the committed feature partitions themselves)."""
+        marker = os.path.join(self.stage_dir, "_SUCCESS")
+        if not os.path.exists(marker):
+            turns.withColumn("_bucket", _bucket_col(self.n_buckets)).write.mode(
+                "overwrite"
+            ).partitionBy("_bucket").parquet(self.stage_dir)
+        return self.spark.read.parquet(self.stage_dir)
+
     # -- run / resume ---------------------------------------------------
     def run(self, turns: DataFrame, fail_after: int | None = None) -> dict:
         """Process all not-yet-committed buckets; idempotent.
@@ -116,12 +139,12 @@ class FeatureRun:
         """
         done = self.committed_buckets()
         todo = [b for b in range(self.n_buckets) if b not in done]
-        turns = turns.withColumn("_bucket", _bucket_col(self.n_buckets))
+        staged = self._stage(turns) if todo else None
         n_done = 0
         for b in todo:
             if fail_after is not None and n_done >= fail_after:
                 raise RuntimeError(f"injected failure after {n_done} buckets")
-            part = turns.filter(F.col("_bucket") == b).drop("_bucket")
+            part = staged.filter(F.col("_bucket") == b).drop("_bucket")
             in_rows, in_sum = _checksum(part)
             feats = self.featurizer(part)
             bucket_path = os.path.join(self.data_dir, f"bucket={b}")

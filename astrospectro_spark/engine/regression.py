@@ -96,6 +96,13 @@ def sigma_clip_slope(
     shift-invariant; the returned intercept is mapped back to the
     caller's x origin (b - slope*xmin). For already-centered x the
     adjustment is exactly b - slope*0.0 = b, bit-for-bit.
+
+    Join strategy: the per-group fit/bound joins carry NO broadcast
+    hint — with ``group_col`` the build side is one row per entity and
+    grows with the table (a forced broadcast OOMs at 10^9 entities);
+    AQE chooses broadcast vs SMJ from runtime sizes. The ungrouped
+    (global-fit) path still broadcasts: its build side is exactly one
+    row.
     """
     keys = [group_col] if group_col else []
     wmin = Window.partitionBy(*keys) if keys else Window.partitionBy()
@@ -108,11 +115,11 @@ def sigma_clip_slope(
             (F.covar_pop("_xc", y) / F.var_pop("_xc")).alias("_slope"),
             (F.avg(y) - F.covar_pop("_xc", y) / F.var_pop("_xc") * F.avg("_xc")).alias("_icept"),
         )
-        joined = cur.join(F.broadcast(fit), keys) if keys else cur.crossJoin(F.broadcast(fit))
+        joined = cur.join(fit, keys) if keys else cur.crossJoin(F.broadcast(fit))
         resid = F.col(y) - (F.col("_slope") * F.col("_xc") + F.col("_icept"))
         stats = joined.withColumn("_r", resid)
         bound = stats.groupBy(*keys).agg(F.stddev_pop("_r").alias("_s"))
-        stats = stats.join(F.broadcast(bound), keys) if keys else stats.crossJoin(F.broadcast(bound))
+        stats = stats.join(bound, keys) if keys else stats.crossJoin(F.broadcast(bound))
         cur = stats.filter(
             (F.col("_s") == 0) | (F.abs(F.col("_r")) <= sigma * F.col("_s"))
         ).select(work.columns)
@@ -137,9 +144,11 @@ def poly2_residuals_per_entity(
     """Distributed per-entity degree-2 least-squares fit + residual.
 
     One shuffle reduces each entity to 8 moment sums; Cramer's rule in
-    closed-form expressions solves the 3x3 normal equations; a
-    broadcast join evaluates the per-row residual. Fully scales (no
-    driver-side solve, unlike :func:`with_poly_residuals`).
+    closed-form expressions solves the 3x3 normal equations; an
+    UNHINTED join (one coefficient row per entity — AQE picks the
+    strategy; a forced broadcast would OOM at 10^9 entities) evaluates
+    the per-row residual. Fully scales (no driver-side solve, unlike
+    :func:`with_poly_residuals`).
 
     Caller must supply a well-conditioned ``x`` (normalize to [0,1] per
     entity). The Cramer expressions are written term-for-term identical
@@ -171,7 +180,7 @@ def poly2_residuals_per_entity(
     )
     det, d0, d1, d2 = F.col("det"), F.col("d0"), F.col("d1"), F.col("d2")
     fitted = d0 / det + (d1 / det) * xc + (d2 / det) * xc * xc
-    return df.join(F.broadcast(coeffs), group_col).withColumn(
+    return df.join(coeffs, group_col).withColumn(
         out_col,
         F.when((F.col("n") >= min_rows) & (det != 0), yc - fitted),
     )

@@ -109,14 +109,34 @@ def featurize_salted(
         wide=wide,
     )
     out = cold_out.unionByName(hot_out.select(cold_out.columns))
-    out._astrospectro_cached = handles  # released via release_cached()
+    out._astrospectro_cached = handles  # fast path for the exact object
+    _CACHE_REGISTRY.extend(handles)  # survives downstream transformations
     return out
 
 
-def release_cached(df: DataFrame) -> None:
-    """Unpersist any intermediate the salted featurizer cached for
-    ``df``. Call after the output is materialised (write/collect)."""
-    for h in getattr(df, "_astrospectro_cached", []):
+# Handles of every hot-slice persist not yet released. The dynamic
+# attribute on the returned DataFrame is lost as soon as a caller
+# transforms it (.select/.filter return new objects), so the registry is
+# the source of truth; the attribute just lets release_cached target one
+# specific result when several are in flight.
+_CACHE_REGISTRY: list[DataFrame] = []
+
+
+def release_cached(df: DataFrame | None = None) -> None:
+    """Unpersist intermediates the salted featurizer cached.
+
+    Pass the DataFrame returned by :func:`featurize_salted` (or any
+    derivative — if the dynamic attribute was lost in a transformation,
+    the module registry releases everything outstanding). Call after
+    the output is materialised (write/collect). ``release_cached()``
+    with no argument drains the registry unconditionally.
+    """
+    handles = list(getattr(df, "_astrospectro_cached", [])) if df is not None else []
+    if not handles:
+        handles, _CACHE_REGISTRY[:] = list(_CACHE_REGISTRY), []
+    else:
+        _CACHE_REGISTRY[:] = [h for h in _CACHE_REGISTRY if all(h is not g for g in handles)]
+    for h in handles:
         try:
             h.unpersist()
         except Exception:  # noqa: BLE001 — session may already be gone
@@ -357,8 +377,8 @@ def _featurize_hot(
             .withColumn("lag3_text_len_delta", (tl - F.lag(tl, 3).over(w)).cast("double"))
             .withColumn("log1p_text_len", F.log1p(tl))
             .withColumn("rate_300s", F.count(F.lit(1)).over(wr300).cast("double"))
-            .withColumn("roll_max_text_len_5", F.max(tl).over(w5).cast("int"))
-            .withColumn("roll_min_text_len_5", F.min(tl).over(w5).cast("int"))
+            .withColumn("roll_max_text_len_5", F.max(tl).over(w5).cast("double"))
+            .withColumn("roll_min_text_len_5", F.min(tl).over(w5).cast("double"))
             .withColumn("roll_sum_text_len_5", F.sum(tl).over(w5).cast("long"))
             .withColumn(
                 "sigmoid_text_len",

@@ -118,8 +118,11 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s) -> DataFrame:
         .withColumn("lag3_text_len_delta", (tl - F.lag(tl, 3).over(w)).cast("double"))
         .withColumn("log1p_text_len", F.log1p(tl))
         .withColumn("rate_300s", F.count(F.lit(1)).over(wr).cast("double"))
-        .withColumn("roll_max_text_len_5", F.max(tl).over(w5).cast("int"))
-        .withColumn("roll_min_text_len_5", F.min(tl).over(w5).cast("int"))
+        # double (not int): one locked type across the expr / salted /
+        # grouped paths — the pandas kernel's rolling max/min is float64
+        # and WIDE_SCHEMA declares double
+        .withColumn("roll_max_text_len_5", F.max(tl).over(w5).cast("double"))
+        .withColumn("roll_min_text_len_5", F.min(tl).over(w5).cast("double"))
         .withColumn("roll_sum_text_len_5", F.sum(tl).over(w5).cast("long"))
         .withColumn("session_elapsed_s", (us - start).cast("double") / F.lit(1e6))
         .withColumn(

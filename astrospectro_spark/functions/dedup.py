@@ -81,36 +81,68 @@ def ngram_jaccard_pairs(
     bucket_cols: tuple[str, ...] = ("lang", "source"),
     n: int = 3,
     threshold: float = 0.2,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """Jaccard similarity of word n-gram shingle sets between document
     pairs sharing a cheap blocking key (≙ the reference's server-side
     box prejoin + exact circular refilter,
     src/tools/gaia_crossmatcher.py:285-343,426-432: coarse block first,
-    exact measure second)."""
+    exact measure second).
+
+    Scale cap: within-block pairing is O(rows²) per block, which
+    explodes if one (lang, source) block holds e.g. 10^8 of 10^9 docs.
+    ``max_block_rows`` bounds it: a block census (one cheap agg over
+    the coarse keys, broadcastable — block-key cardinality is tiny)
+    routes every OVERSIZED block through the MinHash+LSH band path
+    (same shingles, same exact-Jaccard verification, so emitted pairs
+    satisfy the identical ``jaccard >= threshold`` predicate; candidate
+    RECALL becomes the LSH band probability instead of exhaustive —
+    the documented trade for O(n·bands) instead of O(n²)). Small blocks
+    keep the exact all-pairs path. Default ``None`` = exact everywhere
+    (the driver-oracle configuration)."""
     d = df.select(
         F.col(id_col),
         *[F.col(c) for c in bucket_cols],
         shingles(text_col, n).alias("sh"),
     )
-    a = d.select(
-        *[F.col(c) for c in bucket_cols],
-        F.col(id_col).alias("id_a"),
-        F.col("sh").alias("sh_a"),
+
+    def exact_pairs(dd: DataFrame) -> DataFrame:
+        a = dd.select(
+            *[F.col(c) for c in bucket_cols],
+            F.col(id_col).alias("id_a"),
+            F.col("sh").alias("sh_a"),
+        )
+        b = dd.select(
+            *[F.col(c) for c in bucket_cols],
+            F.col(id_col).alias("id_b"),
+            F.col("sh").alias("sh_b"),
+        )
+        pairs = a.join(b, list(bucket_cols)).filter(F.col("id_a") < F.col("id_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size(F.array_union("sh_a", "sh_b"))
+        jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+        return (
+            pairs.withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", *bucket_cols, "jaccard")
+        )
+
+    if max_block_rows is None:
+        return exact_pairs(d)
+
+    census = d.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_n"))
+    big_keys = census.filter(F.col("_n") > max_block_rows).select(*bucket_cols)
+    small = d.join(F.broadcast(big_keys), list(bucket_cols), "left_anti")
+    big = df.join(F.broadcast(big_keys), list(bucket_cols), "left_semi")
+    approx = minhash_lsh_candidates(
+        big,
+        text_col=text_col,
+        id_col=id_col,
+        ngram=n,
+        verify_threshold=threshold,
+        block_cols=bucket_cols,
     )
-    b = d.select(
-        *[F.col(c) for c in bucket_cols],
-        F.col(id_col).alias("id_b"),
-        F.col("sh").alias("sh_b"),
-    )
-    pairs = a.join(b, list(bucket_cols)).filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
-    return (
-        pairs.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", *bucket_cols, "jaccard")
-    )
+    return exact_pairs(small).unionByName(approx.select("id_a", "id_b", *bucket_cols, "jaccard"))
 
 
 def minhash_signature(text_col: str = "text", num_perm: int = 32, ngram: int = 3) -> Column:
@@ -137,6 +169,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     ngram: int = 3,
     verify_threshold: float = 0.5,
+    block_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """MinHash + LSH near-dup detection.
 
@@ -148,15 +181,22 @@ def minhash_lsh_candidates(
     exact-refilter pattern of the reference's cross-matcher
     (src/tools/gaia_crossmatcher.py:285-343,426-432). At 10^9 docs the
     wide text/shingle payload never rides the bucket shuffle.
+
+    ``block_cols`` adds coarse keys to the band-bucket join (pairs must
+    share the block too) and to the output — used by
+    :func:`ngram_jaccard_pairs` to cap oversized blocks.
     """
     rows_per_band = num_perm // bands
+    blocks = list(block_cols)
     d = df.select(
         F.col(id_col),
+        *[F.col(c) for c in blocks],
         shingles(text_col, ngram).alias("sh"),
         minhash_signature(text_col, num_perm, ngram).alias("sig"),
     )
     banded = d.select(
         id_col,
+        *blocks,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -174,14 +214,14 @@ def minhash_lsh_candidates(
                 ),
             )
         ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_hash")
+    ).select(id_col, *blocks, "band.band_id", "band.band_hash")
 
-    a = banded.select("band_id", "band_hash", F.col(id_col).alias("id_a"))
-    b = banded.select("band_id", "band_hash", F.col(id_col).alias("id_b"))
+    a = banded.select(*blocks, "band_id", "band_hash", F.col(id_col).alias("id_a"))
+    b = banded.select(*blocks, "band_id", "band_hash", F.col(id_col).alias("id_b"))
     cand = (
-        a.join(b, ["band_id", "band_hash"])
+        a.join(b, blocks + ["band_id", "band_hash"])  # pairs share the block
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", *blocks)
         .dropDuplicates(["id_a", "id_b"])
     )
     sh = d.select(id_col, "sh")
@@ -194,7 +234,7 @@ def minhash_lsh_candidates(
     return (
         cand.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= verify_threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", *blocks, "jaccard")
     )
 
 

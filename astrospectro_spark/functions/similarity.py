@@ -67,7 +67,7 @@ def cosine_topk(
     )
 
 
-@lru_cache(maxsize=16)
+@lru_cache(maxsize=None)  # default config needs n_tables*n_planes=32 entries
 def rademacher_plane(table: int, plane: int, dim: int) -> tuple[float, ...]:
     """Deterministic ±1 hyperplane: component j is +1 when the first
     md5 hex digit of ``"{table}_{plane}_{j}"`` is odd. Pure-Python (one

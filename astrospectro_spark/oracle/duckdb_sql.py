@@ -6,6 +6,14 @@ order-insensitive value-hash against the Spark result.
 Conventions (mirror queries.py): epoch-microsecond BIGINTs for
 timestamps, ``round(x, 6)`` on float aggregates, explicit BIGINT casts
 on DuckDB window SUMs (they default to HUGEINT).
+
+Negative-zero convention: DuckDB ``round()`` preserves the sign of zero
+(``round(-1e-7, 6) = -0.0``) while Spark's ``round`` normalizes to
+``+0.0``; the driver hashes raw value bytes, so a single ``-0.0`` row
+flips the hash. Every rounded expression that can be negative therefore
+carries a trailing ``+ 0`` (IEEE: ``-0.0 + 0 = +0.0``; identity on all
+other values incl. NULL/NaN). NumPy-kernel queries (savgol) normalize
+on BOTH sides because ``ndarray.round`` also preserves ``-0.0``.
 """
 
 SESSION_CTE = """
@@ -51,9 +59,9 @@ FROM sess
 """,
     "lag_delta": """
 SELECT event_id, user_id,
-       round(value - lag(value) OVER w, 6) AS lag1_value_delta,
+       round(value - lag(value) OVER w, 6) + 0 AS lag1_value_delta,
        round((epoch_us(ts) - lag(epoch_us(ts)) OVER w)::DOUBLE / 1e6, 6) AS lag1_ts_gap_s,
-       round(lead(value) OVER w - value, 6) AS label_lead1_value_delta
+       round(lead(value) OVER w - value, 6) + 0 AS label_lead1_value_delta
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
@@ -201,8 +209,8 @@ WITH c AS (
   FROM events
 )
 SELECT user_id,
-       round(covar_pop(x, value) / var_pop(x), 6) AS slope,
-       round(corr(x, value), 6) AS pearson_r,
+       round(covar_pop(x, value) / var_pop(x), 6) + 0 AS slope,
+       round(corr(x, value), 6) + 0 AS pearson_r,
        count(*) AS n
 FROM c GROUP BY user_id
 """,
@@ -213,7 +221,7 @@ WITH med AS (
 )
 SELECT e.event_id, e.event_type,
        round(m, 6) AS class_median,
-       round(e.value - m, 6) AS value_dev_class
+       round(e.value - m, 6) + 0 AS value_dev_class
 FROM events e JOIN med USING (event_type)
 """,
     "seeded_sample": """
@@ -269,7 +277,7 @@ WITH xx AS (
 SELECT e.event_id, e.user_id,
        round(CASE WHEN c.n >= 10 AND c.det <> 0
              THEN e.value - (c.d0/c.det + (c.d1/c.det)*e.x + (c.d2/c.det)*e.x*e.x)
-             END, 4) AS residual
+             END, 4) + 0 AS residual
 FROM xx e JOIN c USING (user_id)
 """,
     "sigma_clip_slope": """
@@ -293,8 +301,8 @@ WITH xx AS (
   WHERE s.sd = 0 OR abs(r.resid) <= 2.5 * s.sd
 )
 SELECT user_id,
-       round(covar_pop(x, value) / var_pop(x), 8) AS slope,
-       round(avg(value) - covar_pop(x, value) / var_pop(x) * avg(x), 4) AS intercept
+       round(covar_pop(x, value) / var_pop(x), 8) + 0 AS slope,
+       round(avg(value) - covar_pop(x, value) / var_pop(x) * avg(x), 4) + 0 AS intercept
 FROM kept GROUP BY user_id
 """,
     "winsorize": """
@@ -328,7 +336,7 @@ SELECT event_id, user_id, epoch_us(ts) AS ts_us, session_id,
        CAST(row_number() OVER (PARTITION BY user_id, session_id
                                ORDER BY ts, event_id) AS BIGINT) AS turn_in_session,
        round(gap_s, 6) AS lag1_ts_gap_s,
-       round(value - lag(value) OVER w, 6) AS lag1_value_delta,
+       round(value - lag(value) OVER w, 6) + 0 AS lag1_value_delta,
        last_value(CASE WHEN event_type IN ('purchase','signup') THEN event_type END
                   IGNORE NULLS) OVER wc AS backfill_marker,
        count(*) OVER wr AS rate_1d,
@@ -337,7 +345,7 @@ SELECT event_id, user_id, epoch_us(ts) AS ts_us, session_id,
          AS cum_error,
        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER wc AS BIGINT)
          AS cum_purchase,
-       round(lead(value) OVER w - value, 6) AS label_lead1_value_delta
+       round(lead(value) OVER w - value, 6) + 0 AS label_lead1_value_delta
 FROM sess
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
        wc AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -364,9 +372,9 @@ SELECT event_id, user_id, u AS ts_us,
        AS BIGINT) AS turn_in_session,
   CAST(rn AS BIGINT) AS turn_idx_user,
   round(gap_s, 6) AS lag1_ts_gap_s,
-  round(value - lag(value, 1) OVER w, 6) AS lag1_value_delta,
-  round(value - lag(value, 2) OVER w, 6) AS lag2_value_delta,
-  round(value - lag(value, 3) OVER w, 6) AS lag3_value_delta,
+  round(value - lag(value, 1) OVER w, 6) + 0 AS lag1_value_delta,
+  round(value - lag(value, 2) OVER w, 6) + 0 AS lag2_value_delta,
+  round(value - lag(value, 3) OVER w, 6) + 0 AS lag3_value_delta,
   last_value(CASE WHEN event_type IN ('purchase','signup') THEN event_type END
              IGNORE NULLS) OVER wc AS backfill_marker,
   count(*) OVER wr1 AS rate_1d,
@@ -402,15 +410,15 @@ SELECT event_id, user_id, u AS ts_us,
   round(pow(10.0, value / 500), 6) AS pow10_scaled,
   CAST(floor(value / 50) * 50 AS BIGINT) AS value_bin,
   substr(event_type, 1, 1) AS type_prefix,
-  round(value - avg(value) OVER w5, 6) AS value_vs_roll,
-  round(value - round(avg(value) OVER wp, 6), 6) AS value_dev_user,
+  round(value - avg(value) OVER w5, 6) + 0 AS value_vs_roll,
+  round(value - round(avg(value) OVER wp, 6), 6) + 0 AS value_dev_user,
   round(max(value) OVER wc, 6) AS run_max_value,
   round(min(value) OVER wc, 6) AS run_min_value,
   round(CASE WHEN max(value) OVER wc > 0 THEN value / (max(value) OVER wc) END, 6)
     AS value_norm_run,
   round(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER wc AS BIGINT)::DOUBLE
         / rn, 6) AS pct_error_so_far,
-  round(lead(value) OVER w - value, 6) AS label_lead1_value_delta
+  round(lead(value) OVER w - value, 6) + 0 AS label_lead1_value_delta
 FROM s
 WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
        wc AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -458,17 +466,27 @@ SELECT user_id, round(sum(s), 4) AS auc_trapezoid, count(*) AS n
 FROM seg GROUP BY user_id
 """,
     "moments": """
-WITH g AS (
+WITH r AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rmx,
+         row_number() OVER (PARTITION BY user_id ORDER BY value ASC, event_id DESC) AS rmn
+  FROM events
+), g AS (
   SELECT user_id, count(*)::DOUBLE AS n,
          avg(value) AS m1, avg(value*value) AS m2,
-         avg(value*value*value) AS m3, avg(value*value*value*value) AS m4
-  FROM events GROUP BY user_id
+         avg(value*value*value) AS m3, avg(value*value*value*value) AS m4,
+         max(CASE WHEN rmx = 1 THEN event_id END) AS argmax_event_id,
+         max(CASE WHEN rmn = 1 THEN event_id END) AS argmin_event_id,
+         round(max(value), 6) AS max_value,
+         round(min(value), 6) AS min_value
+  FROM r GROUP BY user_id
 )
 SELECT user_id,
        round(sqrt(m2 - m1*m1), 5) AS std_pop,
-       round((m3 - 3*m1*m2 + 2*m1*m1*m1) / pow(m2 - m1*m1, 1.5), 5) AS skewness_pop,
-       round((m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*m1*m1*m1*m1) / pow(m2 - m1*m1, 2) - 3, 5)
-         AS kurtosis_excess
+       round((m3 - 3*m1*m2 + 2*m1*m1*m1) / pow(m2 - m1*m1, 1.5), 5) + 0 AS skewness_pop,
+       round((m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*m1*m1*m1*m1) / pow(m2 - m1*m1, 2) - 3, 5) + 0
+         AS kurtosis_excess,
+       argmax_event_id, argmin_event_id, max_value, min_value
 FROM g
 """,
     "profile_morphology": """
@@ -513,7 +531,7 @@ WITH rr AS (
 SELECT user_id, n, depth, center_us, core_width_s, base_width_s,
        left_wing, right_wing, emission_idx,
        round(CASE WHEN left_wing + right_wing <> 0
-             THEN (right_wing - left_wing) / (right_wing + left_wing) END, 6) AS asymmetry
+             THEN (right_wing - left_wing) / (right_wing + left_wing) END, 6) + 0 AS asymmetry
 FROM g
 """,
     "composite_features": """
@@ -521,28 +539,14 @@ SELECT event_id, user_id,
        round(1.0 / (1.0 + exp(-(value - 100) / 25)), 6) AS sigmoid_value,
        round(exp(-0.5 * ((value - 120) / 30) * ((value - 120) / 30)), 6) AS gauss_value,
        round(greatest(0.0, least(1.0, (value - 80) / 40)), 6) AS ramp_value,
-       round(CASE WHEN value > 0 THEN log10(value) END, 6) AS log10_value,
+       round(CASE WHEN value > 0 THEN log10(value) END, 6) + 0 AS log10_value,
        round(pow(10.0, value / 500), 6) AS pow10_scaled,
        CAST(floor(value / 50) * 50 AS BIGINT) AS value_bin,
        substr(event_type, 1, 1) AS type_prefix,
        sign(value - 100)::DOUBLE AS sign_dev,
        round(least(greatest(value, 50.0), 150.0), 6) AS clip_value,
-       round(value - CAST(json_extract_string(props, '$.k') AS BIGINT), 6) AS delta_value_k
+       round(value - CAST(json_extract_string(props, '$.k') AS BIGINT), 6) + 0 AS delta_value_k
 FROM events
-""",
-    "argmax_position": """
-WITH r AS (
-  SELECT user_id, event_id, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rmx,
-         row_number() OVER (PARTITION BY user_id ORDER BY value ASC, event_id DESC) AS rmn
-  FROM events
-)
-SELECT user_id,
-       max(CASE WHEN rmx = 1 THEN event_id END) AS argmax_event_id,
-       max(CASE WHEN rmn = 1 THEN event_id END) AS argmin_event_id,
-       round(max(value), 6) AS max_value,
-       round(min(value), 6) AS min_value
-FROM r GROUP BY user_id
 """,
     "pivot_avg": """
 SELECT user_id,
@@ -777,7 +781,7 @@ WITH q AS (
                             ORDER BY cosine DESC, cand_id ASC) AS rank
   FROM s
 )
-SELECT query_id, cand_id, cosine, rank FROM r WHERE rank <= 5
+SELECT query_id, cand_id, cosine + 0 AS cosine, rank FROM r WHERE rank <= 5
 """,
 }
 
@@ -841,8 +845,8 @@ WITH o AS (
     END AS s
   FROM o
 )
-SELECT event_id, user_id, round(s, 6) AS value_smooth,
-       round(value - s, 6) AS value_resid
+SELECT event_id, user_id, round(s, 6) + 0 AS value_smooth,
+       round(value - s, 6) + 0 AS value_resid
 FROM sm
 """
 
@@ -898,7 +902,7 @@ WITH sigs AS (
                             ORDER BY cosine DESC, cand_id ASC) AS rank
   FROM scored
 )
-SELECT query_id, cand_id, cosine, CAST(rank AS BIGINT) AS rank
+SELECT query_id, cand_id, cosine + 0 AS cosine, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k}
 """
 

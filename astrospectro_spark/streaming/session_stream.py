@@ -76,13 +76,21 @@ def stateful_featurize(stream_df: DataFrame, gap_s: float = 1800.0):
     backfill) carried across micro-batches, emitting per-turn
     incremental features.
 
-    With turns arriving in (ts, turn_idx) order per conversation
-    (within-batch disorder is sorted; cross-batch order is the
-    source's contract, enforced upstream by watermark + sort), the
+    Ordering: ``applyInPandasWithState`` delivers a group's micro-batch
+    rows as an ITERATOR of Arrow chunks in arbitrary order, so the
+    kernel materializes the whole per-group increment
+    (``pd.concat(list(pdf_iter))``) and sorts ONCE by (ts, turn_idx)
+    before applying state transitions — sorting each chunk separately
+    would corrupt session ids whenever one conversation's batch spans
+    multiple chunks. Memory is bounded by the per-conversation
+    INCREMENT (one micro-batch), never the history. Cross-batch order
+    is the source's contract (watermark + sort upstream); with it, the
     emitted cumulative features equal the batch engine's — asserted
-    stream==batch in tests. State is O(1) per conversation (8 scalars),
-    so 10^9 live conversations hold ~tens of GB of state cluster-wide,
-    partitioned by the same conv_id hash as every other operator.
+    stream==batch in tests, including a forced multi-chunk group
+    (arrow maxRecordsPerBatch < group size). State is O(1) per
+    conversation (8 scalars), so 10^9 live conversations hold ~tens of
+    GB of state cluster-wide, partitioned by the same conv_id hash as
+    every other operator.
 
     This is the stateful-kernel tier (per-row Python over state
     transitions); the batch path stays expression-only — kernel cost is
@@ -99,8 +107,13 @@ def stateful_featurize(stream_df: DataFrame, gap_s: float = 1800.0):
         else:
             last_us, sid, tis, na, ns, nt, nu, last_tool = (-1, 0, 0, 0, 0, 0, 0, None)
         out = []
-        for pdf in pdf_iter:
-            g = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+        # materialize the group's whole increment: chunks arrive in
+        # arbitrary order, so a per-chunk sort is NOT a total order
+        chunks = [p for p in pdf_iter if len(p)]
+        if chunks:
+            g = _pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "turn_idx"], kind="mergesort"
+            )
             us_arr = g["ts"].to_numpy("datetime64[us]").astype("int64")
             for i, r in enumerate(g.itertuples(index=False)):
                 us = int(us_arr[i])
@@ -134,7 +147,14 @@ def stateful_featurize(stream_df: DataFrame, gap_s: float = 1800.0):
                 )
                 last_us = us
         state.update((last_us, sid, tis, na, ns, nt, nu, last_tool))
-        yield _pd.DataFrame(out)
+        yield _pd.DataFrame(
+            out,
+            columns=[
+                "conv_id", "turn_idx", "ts", "session_id", "turn_in_session",
+                "cum_count_assistant", "cum_count_system", "cum_count_tool",
+                "cum_count_user", "tool_backfill", "lag1_ts_gap_s",
+            ],
+        )
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 

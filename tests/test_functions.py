@@ -42,6 +42,49 @@ def test_ngram_jaccard_finds_near_dup(spark, docs):
     assert (0, 3) not in pairs
 
 
+def test_ngram_jaccard_block_cap_routes_oversized_blocks(spark, docs):
+    """With max_block_rows set, an oversized block must go through the
+    MinHash+LSH path (no all-pairs explosion) while small blocks stay
+    exact; every emitted pair still satisfies jaccard >= threshold and
+    exact/near dups inside the oversized block are still found."""
+    from astrospectro_spark.functions.dedup import ngram_jaccard_pairs
+
+    # oversized block: 30 docs in (en, big) incl. an exact-dup pair and
+    # a one-word-off near-dup pair; small block: the original docs
+    big_rows = [
+        (100 + i, f"document number {i} talks about topic {i % 7} in detail", "en", "big")
+        for i in range(26)
+    ] + [
+        (200, "the quick brown fox jumps over the lazy dog", "en", "big"),
+        (201, "the quick brown fox jumps over the lazy dog", "en", "big"),  # exact dup
+        (202, "the quick brown fox jumps over the lazy cat", "en", "big"),  # near dup
+        (203, "unrelated filler sentence with no overlap here", "en", "big"),
+    ]
+    big = spark.createDataFrame(
+        big_rows, "doc_id long, text string, lang string, source string"
+    )
+    d = docs.unionByName(big)
+
+    capped = ngram_jaccard_pairs(d, threshold=0.5, max_block_rows=20).toPandas()
+    pairs = set(zip(capped.id_a, capped.id_b))
+    assert (200, 201) in pairs  # exact dup: identical signature, always collides
+    assert (200, 202) in pairs or (201, 202) in pairs  # near dup via shared bands
+    assert (0, 1) in pairs  # small block still exact all-pairs
+    assert (capped.jaccard >= 0.5).all()
+    # no cross-block pairs even when texts are identical across blocks
+    m = capped.merge(
+        d.toPandas()[["doc_id", "source"]].rename(columns={"doc_id": "id_a", "source": "src_a"}),
+        on="id_a",
+    ).merge(
+        d.toPandas()[["doc_id", "source"]].rename(columns={"doc_id": "id_b", "source": "src_b"}),
+        on="id_b",
+    )
+    assert (m.src_a == m.src_b).all()
+    # uncapped default on the same input is the exact superset
+    exact = ngram_jaccard_pairs(d, threshold=0.5).toPandas()
+    assert pairs <= set(zip(exact.id_a, exact.id_b))
+
+
 def test_minhash_lsh_recovers_exact_and_near_dups(spark, docs):
     from astrospectro_spark.functions.dedup import minhash_lsh_candidates
 

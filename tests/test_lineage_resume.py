@@ -30,11 +30,19 @@ def test_kill_and_resume(spark, transcripts_sdf):
             killed.run(transcripts_sdf, fail_after=4)
         assert len(killed.committed_buckets()) == 4
 
+        # the staged copy survives the kill and is NOT rewritten on
+        # resume (single input scan across the whole run+resume)
+        import os
+
+        marker = os.path.join(killed.stage_dir, "_SUCCESS")
+        stage_mtime = os.path.getmtime(marker)
+
         # resume: only the remaining 4 buckets run
         resume = FeatureRun(spark, f"{base}/killed", n_buckets=8, run_id="r2")
         stats2 = resume.run(transcripts_sdf)
         assert stats2["buckets_skipped"] == 4
         assert stats2["buckets_processed"] == 4
+        assert os.path.getmtime(marker) == stage_mtime
 
         # exactly one lineage record per bucket → zero recompute
         lin = resume.lineage().toPandas()
@@ -61,6 +69,34 @@ def test_rerun_is_noop(spark, transcripts_sdf):
         stats = again.run(transcripts_sdf)
         assert stats["buckets_processed"] == 0
         assert stats["buckets_skipped"] == 4
+
+
+def test_bucket_reads_are_partition_pruned(spark, transcripts_sdf):
+    """The per-bucket read must be a partition-pruned directory scan of
+    the staged copy — the raw input is scanned exactly once (the stage
+    write), never once per bucket."""
+    with tempfile.TemporaryDirectory() as base:
+        r = FeatureRun(spark, f"{base}/p", n_buckets=4)
+        staged = r._stage(transcripts_sdf)
+        from pyspark.sql import functions as F
+
+        plan = (
+            staged.filter(F.col("_bucket") == 2)
+            .drop("_bucket")
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        )
+        assert "PartitionFilters" in plan and "_bucket" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+        # and staging is idempotent: a second call reuses the marker
+        import os
+
+        m = os.path.getmtime(os.path.join(r.stage_dir, "_SUCCESS"))
+        r._stage(transcripts_sdf)
+        assert os.path.getmtime(os.path.join(r.stage_dir, "_SUCCESS")) == m
 
 
 def test_featurizer_is_pluggable(spark, transcripts_sdf):

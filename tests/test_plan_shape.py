@@ -83,6 +83,34 @@ def test_minhash_band_exchange_carries_ids_only(spark, documents_sdf):
             assert "sh#" not in block and not re.search(r"\bsh\b", block), block
 
 
+def test_per_entity_joins_not_hint_broadcast(spark):
+    """Joins whose build side is one row PER ENTITY (medians, per-entity
+    fit coefficients, sigma-clip bounds) must NOT carry a forced
+    broadcast hint — at 10^9 entities a hinted broadcast OOMs; AQE picks
+    the strategy from runtime sizes. Asserted on the ANALYZED plan
+    (hints are erased by the optimizer, so the physical plan can't
+    distinguish a hint from an AQE decision on small test data)."""
+    from astrospectro_spark.engine.regression import (
+        poly2_residuals_per_entity,
+        sigma_clip_slope,
+    )
+    from astrospectro_spark.queries import q_median_normalize
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+
+    def analyzed(df) -> str:
+        return df._jdf.queryExecution().analyzed().toString()
+
+    for df in (
+        q_median_normalize(spark, sf),
+        poly2_residuals_per_entity(ev.withColumn("x", F.col("value")), "x", "value", "user_id"),
+        sigma_clip_slope(ev.withColumn("x", F.col("value")), "x", "value", group_col="user_id", n_iter=1),
+    ):
+        plan = analyzed(df)
+        assert "UnresolvedHint" not in plan and "ResolvedHint" not in plan, plan[:2000]
+
+
 def test_small_dim_join_broadcasts(spark, transcripts_sdf):
     from astrospectro_spark.engine.events import associate_ref_events
     from astrospectro_spark.engine.windows import sessionize

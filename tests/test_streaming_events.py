@@ -126,6 +126,73 @@ def test_stateful_featurize_matches_batch(spark, transcripts_pdf, tmp_path):
             assert av == bv, c
 
 
+def test_stateful_featurize_multichunk_group(spark, transcripts_pdf, tmp_path):
+    """A conversation whose micro-batch increment spans multiple Arrow
+    chunks must still be processed in one global (ts, turn_idx) order:
+    the kernel concatenates the chunk iterator BEFORE sorting (a
+    per-chunk sort is not a total order). Forced by
+    arrow.maxRecordsPerBatch=7 (<< conversation size) over a shuffled
+    row order, single micro-batch."""
+    import numpy as np
+
+    from astrospectro_spark.engine.windows import featurize_expr
+    from astrospectro_spark.streaming import stateful_featurize
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        src = str(tmp_path / "mc_src")
+        shuffled = transcripts_pdf.sample(frac=1.0, random_state=7)
+        spark.createDataFrame(shuffled).coalesce(1).write.parquet(src)
+        schema = (
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        )
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stateful_featurize(stream)
+            .writeStream.format("memory")
+            .queryName("mc_feats")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = (
+            spark.sql("select * from mc_feats")
+            .toPandas()
+            .sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        want = (
+            featurize_expr(spark.createDataFrame(transcripts_pdf))
+            .select(
+                "conv_id", "turn_idx", "ts", "session_id", "turn_in_session",
+                "cum_count_assistant", "cum_count_system", "cum_count_tool",
+                "cum_count_user", "tool_backfill", "lag1_ts_gap_s",
+            )
+            .toPandas()
+            .sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want) > 0
+        # the fixture must actually exercise multi-chunk groups
+        assert (transcripts_pdf.groupby("conv_id").size() > 7).any()
+        for c in want.columns:
+            a, b = got[c], want[c]
+            if b.dtype.kind == "f":
+                assert np.allclose(
+                    a.to_numpy(float), b.to_numpy(float), rtol=0, atol=0, equal_nan=True
+                ), c
+            else:
+                av = a.astype(object).where(a.notna(), None).tolist()
+                bv = b.astype(object).where(b.notna(), None).tolist()
+                assert av == bv, c
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_associate_ref_events(spark, transcripts_sdf):
     from astrospectro_spark.engine.events import associate_ref_events, flatten_event_matches
     from astrospectro_spark.engine.windows import sessionize

@@ -3,7 +3,12 @@
 the same sf directory, compare row count, column names, and values
 (sorted columns, order-insensitive rows, NaN-aware).
 
-Usage: python tools/check_contract.py [sf_dir] [query ...]
+Usage: python tools/check_contract.py [--exact] [sf_dir] [query ...]
+
+``--exact`` compares float columns by their raw IEEE-754 bytes (after
+canonicalizing NaN) instead of allclose — the driver hashes raw value
+bytes, so this mode catches sign-of-zero (-0.0 vs +0.0) and last-ulp
+divergences that allclose is blind to.
 """
 
 from __future__ import annotations
@@ -34,7 +39,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         return df.reset_index(drop=True)
 
 
-def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
+def compare(a: pd.DataFrame, b: pd.DataFrame, exact: bool = False) -> str | None:
     if len(a) != len(b):
         return f"row count {len(a)} vs {len(b)}"
     if sorted(a.columns) != sorted(b.columns):
@@ -45,7 +50,18 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
         if x.dtype.kind == "f" or y.dtype.kind == "f":
             xv = x.to_numpy(dtype=float)
             yv = y.to_numpy(dtype=float)
-            if not np.allclose(xv, yv, rtol=1e-9, atol=1e-9, equal_nan=True):
+            if exact:
+                # canonical NaN, then raw IEEE-754 byte equality (mimics
+                # the driver's value hash: catches -0.0 vs +0.0)
+                xb = np.where(np.isnan(xv), np.nan, xv)
+                yb = np.where(np.isnan(yv), np.nan, yv)
+                if xb.tobytes() != yb.tobytes():
+                    bad = xb.view(np.uint64) != yb.view(np.uint64)
+                    return (
+                        f"float col {c} BIT-mismatch: {xb[bad][:3]} vs "
+                        f"{yb[bad][:3]} ({bad.sum()} rows)"
+                    )
+            elif not np.allclose(xv, yv, rtol=1e-9, atol=1e-9, equal_nan=True):
                 bad = ~np.isclose(xv, yv, rtol=1e-9, atol=1e-9, equal_nan=True)
                 return f"float col {c}: {xv[bad][:3]} vs {yv[bad][:3]} ({bad.sum()} rows)"
         else:
@@ -58,8 +74,10 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--exact"]
+    exact = "--exact" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from astrospectro_spark.session import get_spark
@@ -91,7 +109,7 @@ def main():
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"[FAIL] {name}: duckdb error {str(e)[:200]}")
             continue
-        err = compare(got, want)
+        err = compare(got, want, exact=exact)
         if err:
             failures.append((name, err))
             print(f"[FAIL] {name}: {err}")

@@ -29,22 +29,39 @@ from astrospectro_spark.oracle.pandas_oracle import featurize_pdf
 _WIDE_TYPES = {
     "cum_text_len": "long",
     "day_of_week": "int",
+    "gap_roll_max_5": "double",
+    "gap_roll_mean_5": "double",
     "hour_of_day": "int",
     "is_assistant": "int",
     "is_system": "int",
     "is_tool": "int",
     "is_user": "int",
+    "is_weekend": "int",
     "lag2_text_len_delta": "double",
     "lag3_text_len_delta": "double",
     "log1p_text_len": "double",
+    "minute_of_hour": "int",
+    "pct_assistant_so_far": "double",
+    "pct_tool_so_far": "double",
+    "prev_role": "string",
     "rate_300s": "double",
+    "role_changed": "int",
     "roll_max_text_len_5": "double",
     "roll_min_text_len_5": "double",
+    "roll_std_text_len_5": "double",
     "roll_sum_text_len_5": "long",
+    "run_max_text_len": "int",
+    "run_min_text_len": "int",
+    "sess_cum_text_len": "long",
+    "sess_mean_text_len": "double",
     "session_elapsed_s": "double",
     "sigmoid_text_len": "double",
+    "text_len_zscore_run": "double",
+    "text_sum_300s": "long",
     "tool_changed": "int",
     "turn_frac_day": "double",
+    "turn_idx_conv": "int",
+    "turn_rate_session": "double",
 }
 WIDE_SCHEMA = FEATURE_SCHEMA + ", " + ", ".join(
     f"{c} {_WIDE_TYPES[c]}" for c in WIDE_FEATURE_COLS

@@ -214,8 +214,10 @@ def _featurize_hot(
     wide: bool = False,
 ) -> tuple[DataFrame, list[DataFrame]]:
     # row-lookback margin: rolling frames need roll_rows-1, wide lag3
-    # needs 3; time margin must cover the LARGEST range window
-    k_rows = max(roll_rows - 1, 3) if wide else roll_rows - 1
+    # needs 3 and gap-rolling needs roll_rows (the oldest gap in a
+    # real row's frame needs ITS predecessor); time margin must cover
+    # the LARGEST range window
+    k_rows = max(roll_rows, 3) if wide else roll_rows - 1
     margin_us = max(rate_window_s, WIDE_RATE_S if wide else 0) * 1_000_000
 
     key_cols = KEY_COLS if include_text else [c for c in KEY_COLS if c != "text"]
@@ -333,7 +335,7 @@ def _featurize_hot(
                 F.lit(0),
             )
         ).cast("int"),
-    ).drop("_cumreal")
+    )  # _cumreal kept: the wide tier stitches turn_idx_conv from it
     u = u.withColumn(
         "_local_backfill",
         F.last(F.when(is_real, F.col("tool")), ignorenulls=True).over(wcum),
@@ -360,26 +362,49 @@ def _featurize_hot(
     if wide:
         w5 = w.rowsBetween(-(roll_rows - 1), Window.currentRow)
         tl = F.col("text_len")
+        tll = tl.cast("long")
         us_e = _us()
         wr300 = (
             Window.partitionBy("conv_id", "_tgt")
             .orderBy(us_e)
             .rangeBetween(-WIDE_RATE_S * 1_000_000, 0)
         )
+        w5_m = F.avg(tll).over(w5)
+        w5_m2 = F.avg(tll * tll).over(w5)
         u = (
             u.withColumn("day_of_week", F.dayofweek("ts").cast("int"))
+            # context rows are a contiguous suffix of the true history,
+            # so local lag/rolling-gap chains reproduce the global ones
+            .withColumn("_gap_us", us_e - F.lag(us_e).over(w))
+            .withColumn("gap_roll_max_5", F.max(F.col("lag1_ts_gap_s")).over(w5))
+            .withColumn(
+                "gap_roll_mean_5",
+                F.sum("_gap_us").over(w5) / F.count("_gap_us").over(w5) / F.lit(1e6),
+            )
             .withColumn("hour_of_day", F.hour("ts").cast("int"))
             .withColumn("is_assistant", (F.col("role") == "assistant").cast("int"))
             .withColumn("is_system", (F.col("role") == "system").cast("int"))
             .withColumn("is_tool", (F.col("role") == "tool").cast("int"))
             .withColumn("is_user", (F.col("role") == "user").cast("int"))
+            .withColumn("is_weekend", F.dayofweek("ts").isin(1, 7).cast("int"))
             .withColumn("lag2_text_len_delta", (tl - F.lag(tl, 2).over(w)).cast("double"))
             .withColumn("lag3_text_len_delta", (tl - F.lag(tl, 3).over(w)).cast("double"))
             .withColumn("log1p_text_len", F.log1p(tl))
+            .withColumn("minute_of_hour", F.minute("ts").cast("int"))
+            .withColumn("prev_role", F.lag("role").over(w))
             .withColumn("rate_300s", F.count(F.lit(1)).over(wr300).cast("double"))
+            .withColumn(
+                "role_changed",
+                (~F.col("role").eqNullSafe(F.lag("role").over(w))).cast("int"),
+            )
             .withColumn("roll_max_text_len_5", F.max(tl).over(w5).cast("double"))
             .withColumn("roll_min_text_len_5", F.min(tl).over(w5).cast("double"))
+            .withColumn(
+                "roll_std_text_len_5",
+                F.sqrt(F.greatest(F.lit(0.0), w5_m2 - w5_m * w5_m)),
+            )
             .withColumn("roll_sum_text_len_5", F.sum(tl).over(w5).cast("long"))
+            .withColumn("text_sum_300s", F.sum(tl).over(wr300).cast("long"))
             .withColumn(
                 "sigmoid_text_len",
                 F.lit(1.0) / (F.lit(1.0) + F.exp(-(tl - 200) / F.lit(80.0))),
@@ -392,18 +417,37 @@ def _featurize_hot(
                 "turn_frac_day",
                 (us_e % F.lit(86_400_000_000)).cast("double") / F.lit(86_400_000_000.0),
             )
-            # local cumulative text-len partial (real rows only) and the
-            # within-chunk last session-boundary ts (context rows carry
-            # _sb=0, so only real boundaries count — matching the plain
-            # plan, where the boundary row itself is real)
+            # local partials (real rows only): cumulative text-len and
+            # its square-sum (zscore), running extremes, within-chunk
+            # last session-boundary ts (context rows carry _sb=0, so
+            # only real boundaries count — matching the plain plan,
+            # where the boundary row itself is real)
             .withColumn(
                 "_lc_tlen",
                 F.sum(F.when(is_real, tl).otherwise(0)).over(wcum).cast("long"),
             )
             .withColumn(
+                "_lc_tlen2",
+                F.sum(F.when(is_real, tll * tll).otherwise(0)).over(wcum).cast("long"),
+            )
+            .withColumn("_lc_max", F.max(F.when(is_real, tl)).over(wcum).cast("int"))
+            .withColumn("_lc_min", F.min(F.when(is_real, tl)).over(wcum).cast("int"))
+            .withColumn(
                 "_local_start",
                 F.last(F.when(F.col("_sb") == 1, us_e), ignorenulls=True).over(wcum),
             )
+        )
+        # within-chunk session text-len cum (same carry as _local_tis,
+        # with sums instead of counts) — staged on _lc_tlen
+        u = u.withColumn(
+            "_local_sess_tlen",
+            F.col("_lc_tlen")
+            - F.coalesce(
+                F.last(
+                    F.when(F.col("_sb") == 1, F.col("_lc_tlen") - tll), ignorenulls=True
+                ).over(wcum),
+                F.lit(0),
+            ),
         )
     local = u.filter(is_real).drop("_ctx")
 
@@ -413,6 +457,17 @@ def _featurize_hot(
     wide_aggs = (
         [
             F.sum("text_len").cast("long").alias("_c_tlen"),
+            F.sum(F.col("text_len").cast("long") * F.col("text_len").cast("long"))
+            .cast("long")
+            .alias("_c_tlen2"),
+            F.max("text_len").cast("int").alias("_c_max"),
+            F.min("text_len").cast("int").alias("_c_min"),
+            # text-len sum of the chunk's trailing (open) session
+            F.sum(
+                F.when(F.col("_local_sid") == F.col("_sid_max"), F.col("text_len")).otherwise(0)
+            )
+            .cast("long")
+            .alias("_t_last_tlen"),
             F.max(F.when(F.col("_sb") == 1, _us())).alias("_last_b_us"),
             F.min(_us()).alias("_min_us"),
         ]
@@ -457,12 +512,38 @@ def _featurize_hot(
             "_O_tlen", F.coalesce(F.sum("_c_tlen").over(wprev), F.lit(0))
         )
         summ = summ.withColumn(
+            "_O_tlen2", F.coalesce(F.sum("_c_tlen2").over(wprev), F.lit(0))
+        )
+        summ = summ.withColumn("_O_max", F.max("_c_max").over(wprev))
+        summ = summ.withColumn("_O_min", F.min("_c_min").over(wprev))
+        summ = summ.withColumn(
             "_carry_bus", F.last("_last_b_us", ignorenulls=True).over(wprev)
         )
         summ = summ.withColumn(
             "_first_us", F.min("_min_us").over(Window.partitionBy("conv_id"))
         )
-        wide_summ_cols = ["_O_tlen", "_carry_bus", "_first_us"]
+        # text-len analogue of _T: sum of text_len since the most recent
+        # boundary at this chunk's start (mirrors the _CN/_t_last logic)
+        summ = summ.withColumn("_CTLEN", F.col("_O_tlen") + F.col("_c_tlen"))
+        last_bw = F.last(
+            F.when(
+                F.col("_sb_total") > 0,
+                F.struct(F.col("_CTLEN"), F.col("_t_last_tlen")),
+            ),
+            ignorenulls=True,
+        ).over(wprev)
+        summ = summ.withColumn(
+            "_Tsum",
+            F.when(last_bw.isNull(), F.col("_O_tlen")).otherwise(
+                F.col("_O_tlen")
+                - last_bw.getField("_CTLEN")
+                + last_bw.getField("_t_last_tlen")
+            ),
+        )
+        wide_summ_cols = [
+            "_O_tlen", "_O_tlen2", "_O_max", "_O_min", "_carry_bus", "_first_us",
+            "_Tsum", "_CN_prev",
+        ]
     summ = summ.withColumn(
         "_T",
         F.when(last_b.isNull(), F.col("_CN_prev")).otherwise(
@@ -503,6 +584,53 @@ def _featurize_hot(
         )
         out = out.withColumn(
             "session_elapsed_s", (_us() - start_global).cast("double") / F.lit(1e6)
+        )
+        # global row index among real rows (offset + local real rank)
+        out = out.withColumn(
+            "turn_idx_conv", (F.col("_CN_prev") + F.col("_cumreal")).cast("int")
+        )
+        out = out.withColumn(
+            "pct_assistant_so_far",
+            F.col("cum_count_assistant").cast("double") / F.col("turn_idx_conv"),
+        ).withColumn(
+            "pct_tool_so_far",
+            F.col("cum_count_tool").cast("double") / F.col("turn_idx_conv"),
+        )
+        # running extremes: max/least are associative → offset stitch
+        # (greatest/least skip NULL offsets on chunk 0)
+        out = out.withColumn(
+            "run_max_text_len", F.greatest("_lc_max", "_O_max").cast("int")
+        ).withColumn("run_min_text_len", F.least("_lc_min", "_O_min").cast("int"))
+        # within-session text-len cum: chunk-local value, plus the
+        # carried open-session sum for rows before this chunk's first
+        # boundary (exact mirror of turn_in_session's _T logic)
+        out = out.withColumn(
+            "sess_cum_text_len",
+            F.when(
+                F.col("_local_sid") == 0, F.col("_Tsum") + F.col("_local_sess_tlen")
+            )
+            .otherwise(F.col("_local_sess_tlen"))
+            .cast("long"),
+        )
+        out = out.withColumn(
+            "sess_mean_text_len",
+            F.col("sess_cum_text_len").cast("double") / F.col("turn_in_session"),
+        )
+        # running zscore from stitched exact int sums (expr-path mirror)
+        m_run = (F.col("_O_tlen") + F.col("_lc_tlen")).cast("long") / F.col("turn_idx_conv")
+        ctl2 = (F.col("_O_tlen2") + F.col("_lc_tlen2")).cast("long")
+        var_run = ctl2 / F.col("turn_idx_conv") - m_run * m_run
+        out = out.withColumn(
+            "text_len_zscore_run",
+            F.when(
+                var_run > 0,
+                (F.col("text_len").cast("long") - m_run) / F.sqrt(var_run),
+            ).otherwise(F.lit(0.0)),
+        )
+        out = out.withColumn(
+            "turn_rate_session",
+            F.col("turn_in_session").cast("double")
+            / (F.col("session_elapsed_s") + F.lit(1.0)),
         )
         feature_cols = FEATURE_COLS + WIDE_FEATURE_COLS
     return out.select(*key_cols, *feature_cols), handles

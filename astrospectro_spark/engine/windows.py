@@ -56,22 +56,39 @@ LABEL_COLS = ["label_lead1_text_len", "label_lead1_ts_gap_s"]
 WIDE_FEATURE_COLS = [
     "cum_text_len",
     "day_of_week",
+    "gap_roll_max_5",
+    "gap_roll_mean_5",
     "hour_of_day",
     "is_assistant",
     "is_system",
     "is_tool",
     "is_user",
+    "is_weekend",
     "lag2_text_len_delta",
     "lag3_text_len_delta",
     "log1p_text_len",
+    "minute_of_hour",
+    "pct_assistant_so_far",
+    "pct_tool_so_far",
+    "prev_role",
     "rate_300s",
+    "role_changed",
     "roll_max_text_len_5",
     "roll_min_text_len_5",
+    "roll_std_text_len_5",
     "roll_sum_text_len_5",
+    "run_max_text_len",
+    "run_min_text_len",
+    "sess_cum_text_len",
+    "sess_mean_text_len",
     "session_elapsed_s",
     "sigmoid_text_len",
+    "text_len_zscore_run",
+    "text_sum_300s",
     "tool_changed",
     "turn_frac_day",
+    "turn_idx_conv",
+    "turn_rate_session",
 ]
 WIDE_RATE_S = 300
 FEATURE_SCHEMA = (
@@ -94,47 +111,111 @@ def _ts_us(col: str = "ts") -> Column:
 
 def _wide_exprs(df, w, wcum, us, roll_rows, gap_s) -> DataFrame:
     """The wide feature tier. Same single exchange: every window below
-    is another variant of partitionBy(conv_id). session_elapsed_s uses
-    the boundary-carry trick (ts of the last session boundary at or
-    before this row, else the conversation's first ts) instead of a
-    second (conv, session) exchange."""
+    is another variant of partitionBy(conv_id). session_elapsed_s,
+    sess_cum_text_len and turn-rate features use the boundary-carry
+    trick (value at the last session boundary at or before this row)
+    instead of a second (conv, session) exchange; running mean/std
+    (zscore) come from exact int64 cumulative sums so the expr, salted
+    and grouped paths produce bit-identical doubles.
+
+    Requires ``_sb`` (session-boundary flag) and ``_rn`` (per-conv row
+    number) staged by :func:`featurize_expr`."""
     w5 = w.rowsBetween(-(roll_rows - 1), Window.currentRow)
     wp = Window.partitionBy("conv_id")
     wr = Window.partitionBy("conv_id").orderBy(us).rangeBetween(
         -WIDE_RATE_S * 1_000_000, 0
     )
     tl = F.col("text_len")
+    tll = tl.cast("long")
     sb_us = F.when(F.col("lag1_ts_gap_s") > gap_s, us)
     start = F.coalesce(F.last(sb_us, ignorenulls=True).over(wcum), F.min(us).over(wp))
+    gap_us = us - F.lag(us).over(w)
+    w5_m = F.avg(tll).over(w5)
+    w5_m2 = F.avg(tll * tll).over(w5)
+    rn = F.col("_rn")
+    df = (
+        df.withColumn("_gap_us", gap_us)
+        .withColumn("_ctl2", F.sum(tll * tll).over(wcum).cast("long"))
+        .withColumn("cum_text_len", F.sum(tl).over(wcum).cast("long"))
+    )
+    # carries staged on cum_text_len (window-over-window → own projection)
+    sess_carry = F.last(
+        F.when(F.col("_sb") == 1, F.col("cum_text_len") - tll), ignorenulls=True
+    ).over(wcum)
+    df = df.withColumn(
+        "sess_cum_text_len", (F.col("cum_text_len") - F.coalesce(sess_carry, F.lit(0))).cast("long")
+    )
+    m_run = F.col("cum_text_len") / rn
+    var_run = F.col("_ctl2") / rn - m_run * m_run
     return (
-        df.withColumn("cum_text_len", F.sum(tl).over(wcum).cast("long"))
+        df
         .withColumn("day_of_week", F.dayofweek("ts").cast("int"))
+        .withColumn(
+            "gap_roll_max_5", F.max(F.col("lag1_ts_gap_s")).over(w5)
+        )
+        # exact int64-µs sum/count then one divide (bit-identical to the
+        # pandas kernel; an avg over seconds-doubles is order-sensitive)
+        .withColumn(
+            "gap_roll_mean_5",
+            F.sum("_gap_us").over(w5) / F.count("_gap_us").over(w5) / F.lit(1e6),
+        )
         .withColumn("hour_of_day", F.hour("ts").cast("int"))
         .withColumn("is_assistant", (F.col("role") == "assistant").cast("int"))
         .withColumn("is_system", (F.col("role") == "system").cast("int"))
         .withColumn("is_tool", (F.col("role") == "tool").cast("int"))
         .withColumn("is_user", (F.col("role") == "user").cast("int"))
+        .withColumn("is_weekend", F.dayofweek("ts").isin(1, 7).cast("int"))
         .withColumn("lag2_text_len_delta", (tl - F.lag(tl, 2).over(w)).cast("double"))
         .withColumn("lag3_text_len_delta", (tl - F.lag(tl, 3).over(w)).cast("double"))
         .withColumn("log1p_text_len", F.log1p(tl))
+        .withColumn("minute_of_hour", F.minute("ts").cast("int"))
+        .withColumn(
+            "pct_assistant_so_far", F.col("cum_count_assistant").cast("double") / rn
+        )
+        .withColumn("pct_tool_so_far", F.col("cum_count_tool").cast("double") / rn)
+        .withColumn("prev_role", F.lag("role").over(w))
         .withColumn("rate_300s", F.count(F.lit(1)).over(wr).cast("double"))
+        .withColumn(
+            "role_changed", (~F.col("role").eqNullSafe(F.lag("role").over(w))).cast("int")
+        )
         # double (not int): one locked type across the expr / salted /
         # grouped paths — the pandas kernel's rolling max/min is float64
         # and WIDE_SCHEMA declares double
         .withColumn("roll_max_text_len_5", F.max(tl).over(w5).cast("double"))
         .withColumn("roll_min_text_len_5", F.min(tl).over(w5).cast("double"))
+        .withColumn(
+            "roll_std_text_len_5",
+            F.sqrt(F.greatest(F.lit(0.0), w5_m2 - w5_m * w5_m)),
+        )
         .withColumn("roll_sum_text_len_5", F.sum(tl).over(w5).cast("long"))
+        .withColumn("run_max_text_len", F.max(tl).over(wcum).cast("int"))
+        .withColumn("run_min_text_len", F.min(tl).over(wcum).cast("int"))
+        .withColumn(
+            "sess_mean_text_len",
+            F.col("sess_cum_text_len").cast("double") / F.col("turn_in_session"),
+        )
         .withColumn("session_elapsed_s", (us - start).cast("double") / F.lit(1e6))
         .withColumn(
             "sigmoid_text_len",
             F.lit(1.0) / (F.lit(1.0) + F.exp(-(tl - 200) / F.lit(80.0))),
         )
         .withColumn(
+            "text_len_zscore_run",
+            F.when(var_run > 0, (tll - m_run) / F.sqrt(var_run)).otherwise(F.lit(0.0)),
+        )
+        .withColumn("text_sum_300s", F.sum(tl).over(wr).cast("long"))
+        .withColumn(
             "tool_changed", (~F.col("tool").eqNullSafe(F.lag("tool").over(w))).cast("int")
         )
         .withColumn(
             "turn_frac_day",
             (us % F.lit(86_400_000_000)).cast("double") / F.lit(86_400_000_000.0),
+        )
+        .withColumn("turn_idx_conv", rn.cast("int"))
+        .withColumn(
+            "turn_rate_session",
+            F.col("turn_in_session").cast("double")
+            / (F.col("session_elapsed_s") + F.lit(1.0)),
         )
     )
 
@@ -221,7 +302,7 @@ def featurize_expr(
                 F.lit(0),
             )
         ).cast("int"),
-    ).drop("_sb", "_rn")
+    )  # _sb/_rn stay staged: _wide_exprs consumes them; final select drops
     # backfilled tool context: last non-null tool at-or-before this turn
     # (≙ fill-forward in add_photometric_composites,
     # reference: src/pipeline/feature_engineering.py:1586-1615)

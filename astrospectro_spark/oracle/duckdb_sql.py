@@ -360,16 +360,40 @@ WITH g AS (
   SELECT *, epoch_us(ts) AS u,
          (epoch_us(ts) - lag(epoch_us(ts)) OVER w)::DOUBLE / 1e6 AS gap_s,
          row_number() OVER w AS rn,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         CAST(round(value * 100, 0) AS BIGINT) AS vc,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+         CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS tc
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT *, CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END AS sb FROM g
+), s2 AS (
+  SELECT *,
+         CAST(sum(vc) OVER wc AS BIGINT) AS cvc,
+         CAST(sum(vc * vc) OVER wc AS BIGINT) AS cvc2
+  FROM s
+  WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s3 AS (
+  SELECT *,
+         CAST(rn - coalesce(last_value(CASE WHEN sb = 1 THEN rn - 1 END IGNORE NULLS)
+                            OVER wc, 0) AS BIGINT) AS tis,
+         cvc - coalesce(last_value(CASE WHEN sb = 1 THEN cvc - vc END IGNORE NULLS)
+                        OVER wc, 0) AS sess_cents,
+         CAST(rn - coalesce(last_value(CASE WHEN tc = 1 THEN rn - 1 END IGNORE NULLS)
+                            OVER wc, 0) AS BIGINT) AS streak,
+         (u - coalesce(last_value(CASE WHEN sb = 1 THEN u END IGNORE NULLS) OVER wc,
+                       min(u) OVER wp))::DOUBLE / 1e6 AS elapsed_raw
+  FROM s2
+  WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wp AS (PARTITION BY user_id)
 )
 SELECT event_id, user_id, u AS ts_us,
   CAST(sum(sb) OVER wc AS BIGINT) AS session_id,
-  CAST(rn - coalesce(last_value(CASE WHEN sb = 1 THEN rn - 1 END IGNORE NULLS) OVER wc, 0)
-       AS BIGINT) AS turn_in_session,
+  tis AS turn_in_session,
   CAST(rn AS BIGINT) AS turn_idx_user,
   round(gap_s, 6) AS lag1_ts_gap_s,
   round(value - lag(value, 1) OVER w, 6) + 0 AS lag1_value_delta,
@@ -418,8 +442,66 @@ SELECT event_id, user_id, u AS ts_us,
     AS value_norm_run,
   round(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER wc AS BIGINT)::DOUBLE
         / rn, 6) AS pct_error_so_far,
+  round(value - lag(value, 4) OVER w, 6) + 0 AS lag4_value_delta,
+  round(value - lag(value, 5) OVER w, 6) + 0 AS lag5_value_delta,
+  round((u - lag(u, 2) OVER w)::DOUBLE / 1e6, 6) AS lag2_ts_gap_s,
+  round(round(CAST(sum(gap_us) OVER w5 AS BIGINT) / count(gap_us) OVER w5, 0) / 1e6, 6)
+    AS gap_roll_mean_5,
+  round(max(gap_s) OVER w5, 6) AS gap_roll_max_5,
+  round(avg(value) OVER w10, 6) AS roll_mean_value_10,
+  round(min(value) OVER w10, 6) AS roll_min_value_10,
+  round(max(value) OVER w10, 6) AS roll_max_value_10,
+  round(sum(value) OVER w10, 6) AS roll_sum_value_10,
+  round(sqrt(greatest(0.0, avg(vc * vc) OVER w5 - avg(vc) OVER w5 * avg(vc) OVER w5))
+        / 100, 6) AS roll_std_value_5,
+  round(CAST(sum(vc) OVER wr1 AS BIGINT) / 100.0, 6) AS value_sum_1d,
+  round(round((CAST(sum(vc) OVER wr1 AS BIGINT) / 100.0 / count(*) OVER wr1) * 1e6, 0) / 1e6, 6) AS value_mean_1d,
+  round(CAST(sum(vc) OVER wr7 AS BIGINT) / 100.0, 6) AS value_sum_7d,
+  round(max(value) OVER wc - min(value) OVER wc, 6) AS run_depth,
+  round(value - min(value) OVER wc, 6) AS run_range_pos,
+  round(CASE WHEN max(value) OVER wc - min(value) OVER wc > 0
+        THEN (value - min(value) OVER wc)
+             / (max(value) OVER wc - min(value) OVER wc) END, 6) AS run_range_norm,
+  round(CASE WHEN cvc2 / rn - (cvc / rn) * (cvc / rn) > 0
+        THEN (vc - cvc / rn) / sqrt(cvc2 / rn - (cvc / rn) * (cvc / rn))
+        ELSE 0.0 END, 6) + 0 AS value_zscore_run,
+  CAST(sum(CASE WHEN value > 150 THEN 1 ELSE 0 END) OVER wc AS BIGINT) AS cum_high_value,
+  round(round((CAST(sum(CASE WHEN value > 150 THEN 1 ELSE 0 END) OVER wc AS BIGINT)::DOUBLE / rn) * 1e6, 0) / 1e6, 6) AS emission_idx_run,
+  lag(event_type) OVER w AS prev_event_type,
+  tc::INT AS event_type_changed,
+  streak AS same_type_streak,
+  round(sess_cents / 100.0, 6) AS sess_cum_value,
+  round(round((sess_cents / 100.0 / tis) * 1e6, 0) / 1e6, 6) AS sess_mean_value,
+  round(value - round(round((sess_cents / 100.0 / tis) * 1e6, 0) / 1e6, 6), 6) + 0 AS sess_value_dev,
+  round(round((tis / (elapsed_raw + 1.0)) * 1e6, 0) / 1e6, 6) AS turn_rate_session,
+  (tis = 1)::INT AS is_first_in_session,
+  round(round((tis / rn) * 1e6, 0) / 1e6, 6) AS sess_frac_of_turns,
+  minute(ts)::INT AS minute_of_hour,
+  day(ts)::INT AS day_of_month,
+  month(ts)::INT AS month,
+  quarter(ts)::INT AS quarter,
+  (CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END)::INT AS is_weekend,
+  CAST(floor(hour(ts) / 6) AS BIGINT) AS hour_bucket,
+  k % 7 AS k_mod_7,
+  (k % 2 = 0)::INT AS k_is_even,
+  round(value * k, 6) AS value_times_k,
+  round(round((value / (k + 1)) * 1e6, 0) / 1e6, 6) AS value_per_k1,
+  round(round((((value - 100) / 50) / (1 + abs((value - 100) / 50))) * 1e6, 0) / 1e6, 6) + 0 AS softsign_value,
+  round(sqrt(value), 6) AS sqrt_value,
+  round(round((1.0 / (1 + value)) * 1e6, 0) / 1e6, 6) AS inv1p_value,
+  round(exp(-value / 200), 6) AS exp_decay_value,
+  round(round((value * value / 1000) * 1e6, 0) / 1e6, 6) AS value_sq_scaled,
+  round(CASE WHEN value > 0 THEN log2(value) END, 6) + 0 AS log2_value,
+  round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        OVER wc, 6) AS last_purchase_value,
+  CAST(rn - coalesce(last_value(CASE WHEN event_type = 'purchase' THEN rn END IGNORE NULLS)
+                     OVER wc, 0) AS BIGINT) AS rows_since_purchase,
+  round(round((CASE WHEN lag(value) OVER w > 0 THEN value / lag(value) OVER w END) * 1e6, 0) / 1e6, 6) AS value_vs_prev_ratio,
+  round(round((CASE WHEN count(*) OVER wp > 1 THEN (rn - 1) / (count(*) OVER wp - 1) ELSE 0.0 END) * 1e6, 0) / 1e6, 6) AS pct_rank_in_conv,
+  CAST(sum(k) OVER wc AS BIGINT) AS cum_k_sum,
+  round(round((CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) OVER wc AS BIGINT)::DOUBLE / rn) * 1e6, 0) / 1e6, 6) AS k_null_rate_so_far,
   round(lead(value) OVER w - value, 6) + 0 AS label_lead1_value_delta
-FROM s
+FROM s3
 WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
        wc AS (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -429,7 +511,9 @@ WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
        wr7 AS (PARTITION BY user_id ORDER BY u
                RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW),
        w5 AS (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+       w10 AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
 """,
     "median_normalize": """
 WITH med AS (

@@ -94,28 +94,65 @@ def featurize_pdf(
     out["turn_in_session"] = turn_in_session
 
     if wide:
-        out["cum_text_len"] = np.cumsum(text_len).astype("int64")
+        n_run = np.arange(1, len(g) + 1, dtype=np.int64)
+        ctl = np.cumsum(text_len)
+        ctl2 = np.cumsum(text_len * text_len)
+        out["cum_text_len"] = ctl.astype("int64")
         # Spark dayofweek: Sunday=1..Saturday=7; pandas: Monday=0
-        out["day_of_week"] = ((g["ts"].dt.dayofweek.to_numpy() + 1) % 7 + 1).astype(
-            "int32"
+        dow = g["ts"].dt.dayofweek.to_numpy()
+        out["day_of_week"] = ((dow + 1) % 7 + 1).astype("int32")
+        gap_f = gap_us.astype(np.float64)
+        gap_f[0] = np.nan
+        gs = pd.Series(gap_f)
+        out["gap_roll_max_5"] = pd.Series(gap_s_arr).rolling(roll_rows, min_periods=1).max().to_numpy()
+        # exact int64-µs sum/count then one divide — mirrors the expr path
+        out["gap_roll_mean_5"] = (
+            gs.rolling(roll_rows, min_periods=1).sum().to_numpy()
+            / gs.rolling(roll_rows, min_periods=1).count().to_numpy()
+            / 1e6
         )
         out["hour_of_day"] = g["ts"].dt.hour.to_numpy().astype("int32")
         for r in ROLES:
             out[f"is_{r}"] = (g["role"].to_numpy() == r).astype("int32")
+        out["is_weekend"] = np.isin(dow, (5, 6)).astype("int32")
         for kk in (2, 3):
             d = text_len.astype(np.float64) - np.roll(text_len, kk).astype(np.float64)
             d[:kk] = np.nan
             out[f"lag{kk}_text_len_delta"] = d
         out["log1p_text_len"] = np.log1p(text_len.astype(np.float64))
+        out["minute_of_hour"] = g["ts"].dt.minute.to_numpy().astype("int32")
+        out["pct_assistant_so_far"] = (
+            out["cum_count_assistant"].to_numpy().astype(np.float64) / n_run
+        )
+        out["pct_tool_so_far"] = (
+            out["cum_count_tool"].to_numpy().astype(np.float64) / n_run
+        )
+        rv = [None if pd.isna(x) else x for x in g["role"].tolist()]
+        prev_rv = [None] + rv[:-1]
+        out["prev_role"] = pd.Series(prev_rv, dtype=object)
         lo300 = np.searchsorted(ts_us, ts_us - 300 * 1_000_000, side="left")
         hi300 = np.searchsorted(ts_us, ts_us, side="right")
         out["rate_300s"] = (hi300 - lo300).astype(np.float64)
+        out["role_changed"] = np.array(
+            [0 if a == b or (a is None and b is None) else 1 for a, b in zip(rv, prev_rv)],
+            dtype="int32",
+        )
         s = pd.Series(text_len)
         out["roll_max_text_len_5"] = s.rolling(roll_rows, min_periods=1).max().to_numpy()
         out["roll_min_text_len_5"] = s.rolling(roll_rows, min_periods=1).min().to_numpy()
+        w5m = s.rolling(roll_rows, min_periods=1).mean().to_numpy()
+        w5m2 = (s * s).rolling(roll_rows, min_periods=1).mean().to_numpy()
+        out["roll_std_text_len_5"] = np.sqrt(np.maximum(0.0, w5m2 - w5m * w5m))
         out["roll_sum_text_len_5"] = (
             s.rolling(roll_rows, min_periods=1).sum().to_numpy().astype("int64")
         )
+        out["run_max_text_len"] = np.maximum.accumulate(text_len).astype("int32")
+        out["run_min_text_len"] = np.minimum.accumulate(text_len).astype("int32")
+        sess_cum = (
+            pd.Series(text_len).groupby(pd.Series(session_id)).cumsum().to_numpy()
+        ).astype("int64")
+        out["sess_cum_text_len"] = sess_cum
+        out["sess_mean_text_len"] = sess_cum.astype(np.float64) / turn_in_session
         # nullable Int64 keeps epoch-µs exact (float64 cannot represent
         # ~1.7e18 µs, so a NaN-float ffill would shift the boundary ts)
         sb = np.nan_to_num(gap_s_arr, nan=0.0) > gap_s
@@ -130,6 +167,16 @@ def featurize_pdf(
         out["sigmoid_text_len"] = 1.0 / (
             1.0 + np.exp(-(text_len.astype(np.float64) - 200) / 80.0)
         )
+        # running zscore from exact int64 cumulative sums (expr-path mirror)
+        m_run = ctl / n_run
+        var_run = ctl2 / n_run - m_run * m_run
+        out["text_len_zscore_run"] = np.where(
+            var_run > 0,
+            (text_len - m_run) / np.sqrt(np.where(var_run > 0, var_run, 1.0)),
+            0.0,
+        )
+        ps = np.concatenate([[0], np.cumsum(text_len)])
+        out["text_sum_300s"] = (ps[hi300] - ps[lo300]).astype("int64")
         tv = [None if pd.isna(x) else x for x in g["tool"].tolist()]
         prev_tv = [None] + tv[:-1]
         out["tool_changed"] = np.array(
@@ -137,6 +184,10 @@ def featurize_pdf(
             dtype="int32",
         )
         out["turn_frac_day"] = (ts_us % 86_400_000_000).astype(np.float64) / 86_400_000_000.0
+        out["turn_idx_conv"] = n_run.astype("int32")
+        out["turn_rate_session"] = turn_in_session.astype(np.float64) / (
+            out["session_elapsed_s"].to_numpy() + 1.0
+        )
 
     if include_labels:
         lead_len = np.roll(text_len, -1).astype(np.float64)

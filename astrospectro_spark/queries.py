@@ -666,16 +666,24 @@ def q_feature_vector(spark, sf_dir):
 
 
 def q_feature_vector_wide(spark, sf_dir):
-    """FLAGSHIP-WIDE: the 50-column locked per-turn feature schema in
+    """FLAGSHIP-WIDE: the 100-column locked per-turn feature schema in
     ONE window plan — the growth of q_feature_vector's 13 columns
     toward the reference's 174-feature battery
     (src/pipeline/feature_engineering.py:1222-1358, dry-run name lock
     :277-285). Every window shares partitionBy(user_id) (ordered, row-
     frame, range-frame, and unordered variants of the SAME key), so
-    Catalyst plans a single hash exchange; turn_in_session and
-    session_elapsed_s use the boundary-carry trick instead of a second
-    (user, session) exchange. Composites (sigmoid/Gaussian/ramp/clip/
-    binning) are row-wise codegen expressions."""
+    Catalyst plans a single hash exchange; turn_in_session,
+    session_elapsed_s, sess_cum_value and same_type_streak use the
+    boundary-carry trick instead of a second (user, session) exchange.
+    Composites (sigmoid/Gaussian/ramp/clip/binning/softsign) are
+    row-wise codegen expressions.
+
+    Cross-engine exactness for the NEW windowed sums: ``value`` carries
+    exactly 2 decimals, so sums run over ``_vc = round(value*100)``
+    int64 cents — integer window arithmetic is bit-identical in any
+    engine (the same discipline the transcript tier uses with int
+    text_len), and a single final divide by 100 restores the scale.
+    Doubles derived from identical ints are themselves identical."""
     ev = _t(spark, sf_dir, "events")
     w = _W()
     wcum = _wcum()
@@ -686,12 +694,25 @@ def q_feature_vector_wide(spark, sf_dir):
     df = (
         ev.withColumn("_us", us)
         .withColumn("_gap", gap_s)
+        .withColumn("_gap_us", us - F.lag(us).over(w))
         .withColumn("_sb", F.when(gap_s > SESSION_GAP_S, 1).otherwise(0))
         .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_vc", F.round(v * 100).cast("long"))
+        .withColumn(
+            "_tc",
+            F.when(
+                ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
+            ).otherwise(0),
+        )
+    )
+    # second stage: cumulative cent-sums feed further windows (carry)
+    df = df.withColumn("_cvc", F.sum("_vc").over(wcum)).withColumn(
+        "_cvc2", F.sum(F.col("_vc") * F.col("_vc")).over(wcum)
     )
     wr1 = wp.orderBy("_us").rangeBetween(-86_400 * 1_000_000, 0)
     wr7 = wp.orderBy("_us").rangeBetween(-7 * 86_400 * 1_000_000, 0)
     w5 = w.rowsBetween(-4, 0)
+    w10 = w.rowsBetween(-9, 0)
     marker = F.when(F.col("event_type").isin("purchase", "signup"), F.col("event_type"))
     sess_start = F.coalesce(
         F.last(F.when(F.col("_sb") == 1, F.col("_us")), ignorenulls=True).over(wcum),
@@ -700,21 +721,56 @@ def q_feature_vector_wide(spark, sf_dir):
     k = F.get_json_object("props", "$.k").cast("long")
     roll_mean = F.avg(v).over(w5)
     run_max = F.max(v).over(wcum)
+    run_min = F.min(v).over(wcum)
     cum_err = (
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).over(wcum).cast("long")
     )
+    # within-session cumulative cents: total cum minus the cum just
+    # before the most recent session boundary (exact int carry)
+    carry_c = F.last(
+        F.when(F.col("_sb") == 1, F.col("_cvc") - F.col("_vc")), ignorenulls=True
+    ).over(wcum)
+    sess_cents = F.col("_cvc") - F.coalesce(carry_c, F.lit(0))
+    tis = (
+        F.col("_rn")
+        - F.coalesce(
+            F.last(F.when(F.col("_sb") == 1, F.col("_rn") - 1), ignorenulls=True).over(wcum),
+            F.lit(0),
+        )
+    )
+    elapsed_raw = (F.col("_us") - sess_start).cast("double") / 1e6
+    # running zscore from exact int cent-sums
+    m_c = F.col("_cvc") / F.col("_rn")
+    var_c = F.col("_cvc2") / F.col("_rn") - m_c * m_c
+    streak = F.col("_rn") - F.coalesce(
+        F.last(F.when(F.col("_tc") == 1, F.col("_rn") - 1), ignorenulls=True).over(wcum),
+        F.lit(0),
+    )
+    cum_high = F.sum(F.when(v > 150, 1).otherwise(0)).over(wcum).cast("long")
+    vc5_m = F.avg("_vc").over(w5)
+    vc5_m2 = F.avg(F.col("_vc") * F.col("_vc")).over(w5)
+    sum1d_c = F.sum("_vc").over(wr1)
+    n1d = F.count(F.lit(1)).over(wr1)
+    lagv = F.lag(v).over(w)
+    n_conv = F.count(F.lit(1)).over(wp)
+    ssx = (v - 100) / 50
+
+    def snap6(c):
+        """Tie-safe round(x, 6) for RATIONAL expressions: scale to the
+        1e-6 grid, round to an integer, divide back. Exact decimal ties
+        (x.xxxxxx5) round by shortest-decimal-string in Spark but by
+        binary value in DuckDB — at INTEGER scale the two agree for
+        every double (an exact .5 is dyadic), so the snapped value is
+        engine-independent. Irrational chains (sqrt/exp/log) cannot
+        land on a decimal tie and keep plain round(6)."""
+        return F.round(F.round(c * 1e6) / 1e6, 6)
+
     return df.select(
         "event_id",
         "user_id",
         F.col("_us").alias("ts_us"),
         F.sum("_sb").over(wcum).cast("long").alias("session_id"),
-        (
-            F.col("_rn")
-            - F.coalesce(
-                F.last(F.when(F.col("_sb") == 1, F.col("_rn") - 1), ignorenulls=True).over(wcum),
-                F.lit(0),
-            )
-        ).cast("long").alias("turn_in_session"),
+        tis.cast("long").alias("turn_in_session"),
         F.col("_rn").cast("long").alias("turn_idx_user"),
         F.round(F.col("_gap"), 6).alias("lag1_ts_gap_s"),
         F.round(v - F.lag(v, 1).over(w), 6).alias("lag1_value_delta"),
@@ -763,9 +819,90 @@ def q_feature_vector_wide(spark, sf_dir):
         # deviation straddle round() boundaries between engines
         F.round(v - F.round(F.avg(v).over(wp), 6), 6).alias("value_dev_user"),
         F.round(run_max, 6).alias("run_max_value"),
-        F.round(F.min(v).over(wcum), 6).alias("run_min_value"),
+        F.round(run_min, 6).alias("run_min_value"),
         F.round(F.when(run_max > 0, v / run_max), 6).alias("value_norm_run"),
         F.round(cum_err.cast("double") / F.col("_rn"), 6).alias("pct_error_so_far"),
+        # ---- growth tier (columns 51-100) ----
+        F.round(v - F.lag(v, 4).over(w), 6).alias("lag4_value_delta"),
+        F.round(v - F.lag(v, 5).over(w), 6).alias("lag5_value_delta"),
+        F.round((F.col("_us") - F.lag(F.col("_us"), 2).over(w)).cast("double") / 1e6, 6).alias(
+            "lag2_ts_gap_s"
+        ),
+        # exact int64-µs sum/count, snapped to integer µs BEFORE the
+        # divide: sum/n can land exactly on a .5-µs tie, where Spark
+        # (decimal half-up) and DuckDB (scaled std::round) disagree —
+        # but integer-µs ties are dyadic doubles both engines round the
+        # same way, and k/1e6 then sits safely inside the round(6) grid
+        F.round(
+            F.round(F.sum("_gap_us").over(w5) / F.count("_gap_us").over(w5)) / 1e6, 6
+        ).alias("gap_roll_mean_5"),
+        F.round(F.max("_gap").over(w5), 6).alias("gap_roll_max_5"),
+        F.round(F.avg(v).over(w10), 6).alias("roll_mean_value_10"),
+        F.round(F.min(v).over(w10), 6).alias("roll_min_value_10"),
+        F.round(F.max(v).over(w10), 6).alias("roll_max_value_10"),
+        F.round(F.sum(v).over(w10), 6).alias("roll_sum_value_10"),
+        F.round(F.sqrt(F.greatest(F.lit(0.0), vc5_m2 - vc5_m * vc5_m)) / 100, 6).alias(
+            "roll_std_value_5"
+        ),
+        F.round(sum1d_c / 100.0, 6).alias("value_sum_1d"),
+        snap6(sum1d_c / 100.0 / n1d).alias("value_mean_1d"),
+        F.round(F.sum("_vc").over(wr7) / 100.0, 6).alias("value_sum_7d"),
+        F.round(run_max - run_min, 6).alias("run_depth"),
+        F.round(v - run_min, 6).alias("run_range_pos"),
+        F.round(F.when(run_max - run_min > 0, (v - run_min) / (run_max - run_min)), 6).alias(
+            "run_range_norm"
+        ),
+        F.round(
+            F.when(var_c > 0, (F.col("_vc") - m_c) / F.sqrt(var_c)).otherwise(0.0), 6
+        ).alias("value_zscore_run"),
+        cum_high.alias("cum_high_value"),
+        snap6(cum_high.cast("double") / F.col("_rn")).alias("emission_idx_run"),
+        F.lag("event_type").over(w).alias("prev_event_type"),
+        F.col("_tc").cast("int").alias("event_type_changed"),
+        streak.cast("long").alias("same_type_streak"),
+        F.round(sess_cents / 100.0, 6).alias("sess_cum_value"),
+        snap6(sess_cents / 100.0 / tis).alias("sess_mean_value"),
+        F.round(v - snap6(sess_cents / 100.0 / tis), 6).alias("sess_value_dev"),
+        snap6(tis / (elapsed_raw + 1.0)).alias("turn_rate_session"),
+        (tis == 1).cast("int").alias("is_first_in_session"),
+        snap6(tis / F.col("_rn")).alias("sess_frac_of_turns"),
+        F.minute("ts").cast("int").alias("minute_of_hour"),
+        F.dayofmonth("ts").cast("int").alias("day_of_month"),
+        F.month("ts").cast("int").alias("month"),
+        F.quarter("ts").cast("int").alias("quarter"),
+        F.dayofweek("ts").isin(1, 7).cast("int").alias("is_weekend"),
+        F.floor(F.hour("ts") / 6).cast("long").alias("hour_bucket"),
+        (k % 7).alias("k_mod_7"),
+        (k % 2 == 0).cast("int").alias("k_is_even"),
+        F.round(v * k, 6).alias("value_times_k"),
+        snap6(v / (k + 1)).alias("value_per_k1"),
+        snap6(ssx / (1 + F.abs(ssx))).alias("softsign_value"),
+        F.round(F.sqrt(v), 6).alias("sqrt_value"),
+        snap6(F.lit(1.0) / (1 + v)).alias("inv1p_value"),
+        F.round(F.exp(-v / 200), 6).alias("exp_decay_value"),
+        snap6(v * v / 1000).alias("value_sq_scaled"),
+        F.round(F.when(v > 0, F.log2(v)), 6).alias("log2_value"),
+        F.round(
+            F.last(F.when(F.col("event_type") == "purchase", v), ignorenulls=True).over(wcum),
+            6,
+        ).alias("last_purchase_value"),
+        (
+            F.col("_rn")
+            - F.coalesce(
+                F.last(
+                    F.when(F.col("event_type") == "purchase", F.col("_rn")), ignorenulls=True
+                ).over(wcum),
+                F.lit(0),
+            )
+        ).cast("long").alias("rows_since_purchase"),
+        snap6(F.when(lagv > 0, v / lagv)).alias("value_vs_prev_ratio"),
+        snap6(
+            F.when(n_conv > 1, (F.col("_rn") - 1) / (n_conv - 1)).otherwise(0.0)
+        ).alias("pct_rank_in_conv"),
+        F.sum(k).over(wcum).cast("long").alias("cum_k_sum"),
+        snap6(
+            F.sum(F.when(k.isNull(), 1).otherwise(0)).over(wcum).cast("double") / F.col("_rn")
+        ).alias("k_null_rate_so_far"),
         F.round(F.lead(v).over(w) - v, 6).alias("label_lead1_value_delta"),
     )
 

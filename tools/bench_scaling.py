@@ -17,6 +17,9 @@ Writes BENCH/BASELINE.md (the curated narrative there merges reps across
 runs; this tool's output is the raw per-run table).
 
 Usage: SCALE_N=1 SCALE_REPS=3 python tools/bench_scaling.py sf3
+``SCALE_OUT`` overrides the output file (default BENCH/BASELINE.md —
+set it when the run is a supplementary measurement to merge into the
+curated narrative by hand instead of overwriting it).
 """
 
 from __future__ import annotations
@@ -165,7 +168,7 @@ def main():
         "",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    out_path = os.path.join(REPO, "BENCH", os.environ.get("SCALE_OUT", "BASELINE.md"))
     with open(out_path, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {out_path}; worst efficiency {worst:.3f}")

@@ -27,8 +27,33 @@ from astrospectro_spark.engine.windows import FEATURE_SCHEMA, WIDE_FEATURE_COLS
 from astrospectro_spark.oracle.pandas_oracle import featurize_pdf
 
 _WIDE_TYPES = {
+    "clip_text_len_600": "double",
     "cum_text_len": "long",
+    "day_of_month": "int",
     "day_of_week": "int",
+    "exp_decay_text_len": "double",
+    "gap_bucket_min": "long",
+    "gauss_text_len": "double",
+    "hour_bucket": "long",
+    "inv1p_text_len": "double",
+    "is_business_hours": "int",
+    "is_empty_text": "int",
+    "is_long_text": "int",
+    "is_prev_assistant": "int",
+    "is_prev_user": "int",
+    "log1p_gap": "double",
+    "month": "int",
+    "quarter": "int",
+    "ramp_text_len": "double",
+    "roll_max_text_len_10": "double",
+    "roll_mean_text_len_10": "double",
+    "roll_min_text_len_10": "double",
+    "roll_sum_text_len_10": "long",
+    "softsign_text_len": "double",
+    "sqrt_text_len": "double",
+    "text_len_bin": "long",
+    "text_len_sq": "double",
+    "tool_is_set": "int",
     "gap_roll_max_5": "double",
     "gap_roll_mean_5": "double",
     "hour_of_day": "int",

@@ -48,7 +48,9 @@ from astrospectro_spark.engine.windows import (
     SESSION_GAP_S,
     WIDE_FEATURE_COLS,
     WIDE_RATE_S,
+    WIDE_ROLL10,
     featurize_expr,
+    wide_local_exprs,
 )
 
 DEFAULT_HOT_THRESHOLD = 2_000_000
@@ -214,10 +216,10 @@ def _featurize_hot(
     wide: bool = False,
 ) -> tuple[DataFrame, list[DataFrame]]:
     # row-lookback margin: rolling frames need roll_rows-1, wide lag3
-    # needs 3 and gap-rolling needs roll_rows (the oldest gap in a
-    # real row's frame needs ITS predecessor); time margin must cover
-    # the LARGEST range window
-    k_rows = max(roll_rows, 3) if wide else roll_rows - 1
+    # needs 3, gap-rolling needs roll_rows (the oldest gap in a real
+    # row's frame needs ITS predecessor) and the 10-row rolls need
+    # WIDE_ROLL10-1; time margin must cover the LARGEST range window
+    k_rows = max(WIDE_ROLL10 - 1, roll_rows, 3) if wide else roll_rows - 1
     margin_us = max(rate_window_s, WIDE_RATE_S if wide else 0) * 1_000_000
 
     key_cols = KEY_COLS if include_text else [c for c in KEY_COLS if c != "text"]
@@ -436,6 +438,16 @@ def _featurize_hot(
                 "_local_start",
                 F.last(F.when(F.col("_sb") == 1, us_e), ignorenulls=True).over(wcum),
             )
+        )
+        w10 = w.rowsBetween(-(WIDE_ROLL10 - 1), Window.currentRow)
+        u = (
+            u.withColumn("roll_mean_text_len_10", F.avg(tl).over(w10))
+            .withColumn("roll_min_text_len_10", F.min(tl).over(w10).cast("double"))
+            .withColumn("roll_max_text_len_10", F.max(tl).over(w10).cast("double"))
+            .withColumn("roll_sum_text_len_10", F.sum(tl).over(w10).cast("long"))
+            # row-local composites: identical expressions as the plain
+            # path (imported), so parity holds by construction
+            .withColumns(wide_local_exprs())
         )
         # within-chunk session text-len cum (same carry as _local_tis,
         # with sums instead of counts) — staged on _lc_tlen

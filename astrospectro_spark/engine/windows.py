@@ -54,28 +54,48 @@ LABEL_COLS = ["label_lead1_text_len", "label_lead1_ts_gap_s"]
 # bounded lags/rolls, a second range window, and two more stitched
 # cumulative/carry features. Alphabetical, appended after FEATURE_COLS.
 WIDE_FEATURE_COLS = [
+    "clip_text_len_600",
     "cum_text_len",
+    "day_of_month",
     "day_of_week",
+    "exp_decay_text_len",
+    "gap_bucket_min",
     "gap_roll_max_5",
     "gap_roll_mean_5",
+    "gauss_text_len",
+    "hour_bucket",
     "hour_of_day",
+    "inv1p_text_len",
     "is_assistant",
+    "is_business_hours",
+    "is_empty_text",
+    "is_long_text",
+    "is_prev_assistant",
+    "is_prev_user",
     "is_system",
     "is_tool",
     "is_user",
     "is_weekend",
     "lag2_text_len_delta",
     "lag3_text_len_delta",
+    "log1p_gap",
     "log1p_text_len",
     "minute_of_hour",
+    "month",
     "pct_assistant_so_far",
     "pct_tool_so_far",
     "prev_role",
+    "quarter",
+    "ramp_text_len",
     "rate_300s",
     "role_changed",
+    "roll_max_text_len_10",
     "roll_max_text_len_5",
+    "roll_mean_text_len_10",
+    "roll_min_text_len_10",
     "roll_min_text_len_5",
     "roll_std_text_len_5",
+    "roll_sum_text_len_10",
     "roll_sum_text_len_5",
     "run_max_text_len",
     "run_min_text_len",
@@ -83,14 +103,20 @@ WIDE_FEATURE_COLS = [
     "sess_mean_text_len",
     "session_elapsed_s",
     "sigmoid_text_len",
+    "softsign_text_len",
+    "sqrt_text_len",
+    "text_len_bin",
+    "text_len_sq",
     "text_len_zscore_run",
     "text_sum_300s",
     "tool_changed",
+    "tool_is_set",
     "turn_frac_day",
     "turn_idx_conv",
     "turn_rate_session",
 ]
 WIDE_RATE_S = 300
+WIDE_ROLL10 = 10
 FEATURE_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, "
     "ts timestamp, "
@@ -99,6 +125,57 @@ FEATURE_SCHEMA = (
     "rate_60s double, roll_mean_text_len_5 double, session_id int, "
     "text_len int, tool_backfill string, turn_in_session int"
 )
+
+
+def wide_local_exprs() -> dict[str, Column]:
+    """Row-local wide-tier composites (the graft of the reference's
+    post-merge composite battery, src/pipeline/feature_engineering.py:
+    1403-1712): pure per-row expressions over already-present columns
+    (``text_len``, ``lag1_ts_gap_s``, ``prev_role``, ``tool``, ``ts``).
+    Shared verbatim by the plain and the salted featurizers — row-local
+    expressions commute with chunking, so parity holds by construction.
+    ``prev_role`` and ``lag1_ts_gap_s`` must exist before applying."""
+    tl = F.col("text_len")
+    tll = tl.cast("long")
+    ssx = (tl - 300) / F.lit(150.0)
+    return {
+        "clip_text_len_600": F.least(F.greatest(tl, F.lit(50)), F.lit(600)).cast("double"),
+        "day_of_month": F.dayofmonth("ts").cast("int"),
+        "exp_decay_text_len": F.exp(-tl / F.lit(500.0)),
+        # least/greatest SKIP nulls in Spark (unlike numpy's NaN
+        # propagation), so the first-row null gap must be guarded
+        "gap_bucket_min": F.floor(
+            F.when(
+                F.col("lag1_ts_gap_s").isNotNull(),
+                F.least(F.col("lag1_ts_gap_s"), F.lit(86_400.0)),
+            )
+            / 60
+        ).cast("long"),
+        "gauss_text_len": F.exp(F.lit(-0.5) * ssx * ssx),
+        "hour_bucket": F.floor(F.hour("ts") / 6).cast("long"),
+        "inv1p_text_len": F.lit(1.0) / (1 + tl),
+        "is_business_hours": F.hour("ts").between(9, 17).cast("int"),
+        "is_empty_text": (tl == 0).cast("int"),
+        "is_long_text": (tl > 500).cast("int"),
+        "is_prev_assistant": F.when(F.col("prev_role") == "assistant", 1)
+        .otherwise(0)
+        .cast("int"),
+        "is_prev_user": F.when(F.col("prev_role") == "user", 1).otherwise(0).cast("int"),
+        "log1p_gap": F.when(
+            F.col("lag1_ts_gap_s").isNotNull(),
+            F.log1p(F.greatest(F.col("lag1_ts_gap_s"), F.lit(0.0))),
+        ),
+        "month": F.month("ts").cast("int"),
+        "quarter": F.quarter("ts").cast("int"),
+        "ramp_text_len": F.greatest(
+            F.lit(0.0), F.least(F.lit(1.0), (tl - 100) / F.lit(400.0))
+        ),
+        "softsign_text_len": ssx / (1 + F.abs(ssx)),
+        "sqrt_text_len": F.sqrt(tl),
+        "text_len_bin": (F.floor(tl / 100) * 100).cast("long"),
+        "text_len_sq": (tll * tll).cast("double"),
+        "tool_is_set": F.col("tool").isNotNull().cast("int"),
+    }
 
 
 def _ts_us(col: str = "ts") -> Column:
@@ -121,6 +198,7 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s) -> DataFrame:
     Requires ``_sb`` (session-boundary flag) and ``_rn`` (per-conv row
     number) staged by :func:`featurize_expr`."""
     w5 = w.rowsBetween(-(roll_rows - 1), Window.currentRow)
+    w10 = w.rowsBetween(-(WIDE_ROLL10 - 1), Window.currentRow)
     wp = Window.partitionBy("conv_id")
     wr = Window.partitionBy("conv_id").orderBy(us).rangeBetween(
         -WIDE_RATE_S * 1_000_000, 0
@@ -217,6 +295,11 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s) -> DataFrame:
             F.col("turn_in_session").cast("double")
             / (F.col("session_elapsed_s") + F.lit(1.0)),
         )
+        .withColumn("roll_mean_text_len_10", F.avg(tl).over(w10))
+        .withColumn("roll_min_text_len_10", F.min(tl).over(w10).cast("double"))
+        .withColumn("roll_max_text_len_10", F.max(tl).over(w10).cast("double"))
+        .withColumn("roll_sum_text_len_10", F.sum(tl).over(w10).cast("long"))
+        .withColumns(wide_local_exprs())
     )
 
 

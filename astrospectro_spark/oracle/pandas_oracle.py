@@ -188,6 +188,44 @@ def featurize_pdf(
         out["turn_rate_session"] = turn_in_session.astype(np.float64) / (
             out["session_elapsed_s"].to_numpy() + 1.0
         )
+        # 10-row rolls
+        out["roll_mean_text_len_10"] = s.rolling(10, min_periods=1).mean().to_numpy()
+        out["roll_min_text_len_10"] = s.rolling(10, min_periods=1).min().to_numpy()
+        out["roll_max_text_len_10"] = s.rolling(10, min_periods=1).max().to_numpy()
+        out["roll_sum_text_len_10"] = (
+            s.rolling(10, min_periods=1).sum().to_numpy().astype("int64")
+        )
+        # row-local composite battery (windows.wide_local_exprs mirror)
+        tlf = text_len.astype(np.float64)
+        ssx = (tlf - 300) / 150.0
+        out["clip_text_len_600"] = np.minimum(np.maximum(tlf, 50.0), 600.0)
+        out["day_of_month"] = g["ts"].dt.day.to_numpy().astype("int32")
+        out["exp_decay_text_len"] = np.exp(-tlf / 500.0)
+        out["gap_bucket_min"] = pd.array(
+            np.floor(np.minimum(gap_s_arr, 86_400.0) / 60), dtype="Float64"
+        ).astype("Int64")
+        out["gauss_text_len"] = np.exp(-0.5 * ssx * ssx)
+        hour = g["ts"].dt.hour.to_numpy()
+        out["hour_bucket"] = np.floor(hour / 6).astype("int64")
+        out["inv1p_text_len"] = 1.0 / (1 + tlf)
+        out["is_business_hours"] = ((hour >= 9) & (hour <= 17)).astype("int32")
+        out["is_empty_text"] = (text_len == 0).astype("int32")
+        out["is_long_text"] = (text_len > 500).astype("int32")
+        out["is_prev_assistant"] = np.array(
+            [1 if p == "assistant" else 0 for p in prev_rv], dtype="int32"
+        )
+        out["is_prev_user"] = np.array(
+            [1 if p == "user" else 0 for p in prev_rv], dtype="int32"
+        )
+        out["log1p_gap"] = np.log1p(np.maximum(gap_s_arr, 0.0))
+        out["month"] = g["ts"].dt.month.to_numpy().astype("int32")
+        out["quarter"] = g["ts"].dt.quarter.to_numpy().astype("int32")
+        out["ramp_text_len"] = np.maximum(0.0, np.minimum(1.0, (tlf - 100) / 400.0))
+        out["softsign_text_len"] = ssx / (1 + np.abs(ssx))
+        out["sqrt_text_len"] = np.sqrt(tlf)
+        out["text_len_bin"] = (np.floor(tlf / 100) * 100).astype("int64")
+        out["text_len_sq"] = (text_len * text_len).astype(np.float64)
+        out["tool_is_set"] = g["tool"].notna().to_numpy().astype("int32")
 
     if include_labels:
         lead_len = np.roll(text_len, -1).astype(np.float64)

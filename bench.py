@@ -89,6 +89,10 @@ def main() -> None:
         "featurize_feature_only",
         lambda: _force(featurize_expr(turns, include_text=False)),
     )
+    timed(
+        "featurize_wide",
+        lambda: _force(featurize_expr(turns, include_text=False, wide=True)),
+    )
     from astrospectro_spark.engine.skew import featurize_salted, release_cached
 
     def _salted():

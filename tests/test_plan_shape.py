@@ -47,6 +47,16 @@ def test_featurize_projection_prunes_scan(spark, transcripts_pdf, tmp_path):
     assert _op_counts(plan).get("Window", 99) <= 3
 
 
+def test_featurize_wide_single_exchange(spark, transcripts_sdf):
+    """The 60-feature wide tier must keep the one-exchange property:
+    10-row rolls, 300s range windows, cumulative carries and the
+    row-local composite battery all share partitionBy(conv_id)."""
+    plan = _formatted(spark, featurize_expr(transcripts_sdf, wide=True))
+    c = _op_counts(plan)
+    assert c.get("Exchange", 0) == 1, c
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
 def test_asof_single_exchange_no_python(spark, transcripts_sdf, anchors_sdf):
     plan = _formatted(
         spark, asof_join(transcripts_sdf, anchors_sdf, tolerance_col="tolerance_s")

@@ -79,7 +79,7 @@ def main() -> None:
         )
     )
     add(
-        "featurize_expr wide=True — 47-feature tier, still ONE exchange",
+        "featurize_expr wide=True — 60-feature wide tier, still ONE exchange",
         featurize_expr(turns, wide=True),
     )
     add(

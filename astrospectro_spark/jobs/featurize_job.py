@@ -44,6 +44,13 @@ def build_parser() -> argparse.ArgumentParser:
         "text to text_len below the exchange; join text back from the "
         "source by (conv_id, turn_idx) when needed)",
     )
+    p.add_argument(
+        "--wide",
+        action="store_true",
+        help="emit the 60-feature wide tier (rolling std / gap rolls / "
+        "running zscore / per-session cums / composite battery) in "
+        "addition to the 12 base features",
+    )
     return p
 
 
@@ -65,6 +72,7 @@ def main(argv: list[str] | None = None) -> int:
             hot_threshold=args.hot_threshold,
             chunk_target_rows=args.chunk_rows,
             include_text=args.include_text,
+            wide=args.wide,
         )
 
     run = FeatureRun(

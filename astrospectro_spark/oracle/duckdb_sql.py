@@ -500,6 +500,45 @@ SELECT event_id, user_id, u AS ts_us,
   round(round((CASE WHEN count(*) OVER wp > 1 THEN (rn - 1) / (count(*) OVER wp - 1) ELSE 0.0 END) * 1e6, 0) / 1e6, 6) AS pct_rank_in_conv,
   CAST(sum(k) OVER wc AS BIGINT) AS cum_k_sum,
   round(round((CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) OVER wc AS BIGINT)::DOUBLE / rn) * 1e6, 0) / 1e6, 6) AS k_null_rate_so_far,
+  round(avg(value) OVER w20, 6) AS roll_mean_value_20,
+  round(min(value) OVER w20, 6) AS roll_min_value_20,
+  round(max(value) OVER w20, 6) AS roll_max_value_20,
+  round(sum(value) OVER w20, 6) AS roll_sum_value_20,
+  round(sqrt(greatest(0.0, avg(vc * vc) OVER w10 - avg(vc) OVER w10 * avg(vc) OVER w10))
+        / 100, 6) AS roll_std_value_10,
+  round(round(CAST(sum(gap_us) OVER w10 AS BIGINT) / count(gap_us) OVER w10, 0) / 1e6, 6)
+    AS gap_roll_mean_10,
+  round(max(gap_s) OVER w10, 6) AS gap_roll_max_10,
+  count(*) OVER wr30 AS rate_30d,
+  round(CAST(sum(vc) OVER wr30 AS BIGINT) / 100.0, 6) AS value_sum_30d,
+  round(CASE WHEN cvc2 / rn - (cvc / rn) * (cvc / rn) > 0 AND cvc / rn > 0
+        THEN sqrt(cvc2 / rn - (cvc / rn) * (cvc / rn)) / (cvc / rn)
+        ELSE 0.0 END, 6) AS value_cv_run,
+  round(round((CAST(sum(k) OVER w5 AS BIGINT) / count(k) OVER w5) * 1e6, 0) / 1e6, 6)
+    AS k_roll_mean_5,
+  round(round((CAST(sum(k) OVER wc AS BIGINT) / count(k) OVER wc) * 1e6, 0) / 1e6, 6)
+    AS cum_k_mean,
+  (CASE WHEN k IS DISTINCT FROM lag(k) OVER w THEN 1 ELSE 0 END)::INT AS k_changed,
+  concat_ws('>', lag(event_type) OVER w, event_type) AS type_pair,
+  CAST(floor((day(ts) - 1) / 7) + 1 AS BIGINT) AS week_of_month,
+  (day(ts) = 1)::INT AS is_month_start,
+  (dayofweek(ts) * 24 + hour(ts))::INT AS hour_of_week,
+  CAST(floor((u - min(u) OVER wp)::DOUBLE / 1e6 / 86400) AS BIGINT) AS days_since_start,
+  round(first_value(value) OVER wc, 6) AS conv_first_value,
+  round(value - first_value(value) OVER wc, 6) + 0 AS value_vs_first,
+  round(max(gap_s) OVER wc, 6) AS gap_max_run,
+  round(CAST(sum(gap_us) OVER wc AS BIGINT) / 1e6, 6) AS active_time_run_s,
+  round(round(CAST(sum(gap_us) OVER wc AS BIGINT) / count(gap_us) OVER wc, 0) / 1e6, 6)
+    AS mean_gap_run,
+  (CASE WHEN (u // 86400000000) IS DISTINCT FROM lag(u // 86400000000) OVER w
+        THEN 1 ELSE 0 END)::INT AS is_new_day,
+  round(1.0 / (1.0 + exp(-(value - 100) / 10)), 6) AS sigmoid_steep_value,
+  round(exp(-0.5 * ((value - 120) / 10) * ((value - 120) / 10)), 6) AS gauss_narrow_value,
+  round(round((value * value * value / 100000) * 1e6, 0) / 1e6, 6) AS value_cube_scaled,
+  round(greatest(0.0, value - 100), 6) AS relu_value,
+  round(round((value / count(*) OVER wr1) * 1e6, 0) / 1e6, 6) AS value_over_rate,
+  CAST(sum(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) OVER wc AS BIGINT)
+    AS high_gap_count_run,
   round(lead(value) OVER w - value, 6) + 0 AS label_lead1_value_delta
 FROM s3
 WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
@@ -513,7 +552,11 @@ WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
        w5 AS (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
        w10 AS (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+       w20 AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+       wr30 AS (PARTITION BY user_id ORDER BY u
+                RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
 """,
     "median_normalize": """
 WITH med AS (

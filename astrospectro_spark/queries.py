@@ -666,7 +666,7 @@ def q_feature_vector(spark, sf_dir):
 
 
 def q_feature_vector_wide(spark, sf_dir):
-    """FLAGSHIP-WIDE: the 100-column locked per-turn feature schema in
+    """FLAGSHIP-WIDE: the 130-column locked per-turn feature schema in
     ONE window plan — the growth of q_feature_vector's 13 columns
     toward the reference's 174-feature battery
     (src/pipeline/feature_engineering.py:1222-1358, dry-run name lock
@@ -711,8 +711,10 @@ def q_feature_vector_wide(spark, sf_dir):
     )
     wr1 = wp.orderBy("_us").rangeBetween(-86_400 * 1_000_000, 0)
     wr7 = wp.orderBy("_us").rangeBetween(-7 * 86_400 * 1_000_000, 0)
+    wr30 = wp.orderBy("_us").rangeBetween(-30 * 86_400 * 1_000_000, 0)
     w5 = w.rowsBetween(-4, 0)
     w10 = w.rowsBetween(-9, 0)
+    w20 = w.rowsBetween(-19, 0)
     marker = F.when(F.col("event_type").isin("purchase", "signup"), F.col("event_type"))
     sess_start = F.coalesce(
         F.last(F.when(F.col("_sb") == 1, F.col("_us")), ignorenulls=True).over(wcum),
@@ -754,6 +756,13 @@ def q_feature_vector_wide(spark, sf_dir):
     lagv = F.lag(v).over(w)
     n_conv = F.count(F.lit(1)).over(wp)
     ssx = (v - 100) / 50
+    vc10_m = F.avg("_vc").over(w10)
+    vc10_m2 = F.avg(F.col("_vc") * F.col("_vc")).over(w10)
+    first_v = F.first(v).over(wcum)
+    # integer day index via exact integral division (u > 2^53, so a
+    # double division would lose µs precision; div keeps it exact)
+    day_idx = F.expr("_us div 86400000000")
+    nsx = (v - 120) / 10
 
     def snap6(c):
         """Tie-safe round(x, 6) for RATIONAL expressions: scale to the
@@ -903,6 +912,53 @@ def q_feature_vector_wide(spark, sf_dir):
         snap6(
             F.sum(F.when(k.isNull(), 1).otherwise(0)).over(wcum).cast("double") / F.col("_rn")
         ).alias("k_null_rate_so_far"),
+        # ---- growth tier 2 (columns 101-130) ----
+        F.round(F.avg(v).over(w20), 6).alias("roll_mean_value_20"),
+        F.round(F.min(v).over(w20), 6).alias("roll_min_value_20"),
+        F.round(F.max(v).over(w20), 6).alias("roll_max_value_20"),
+        F.round(F.sum(v).over(w20), 6).alias("roll_sum_value_20"),
+        F.round(
+            F.sqrt(F.greatest(F.lit(0.0), vc10_m2 - vc10_m * vc10_m)) / 100, 6
+        ).alias("roll_std_value_10"),
+        F.round(
+            F.round(F.sum("_gap_us").over(w10) / F.count("_gap_us").over(w10)) / 1e6, 6
+        ).alias("gap_roll_mean_10"),
+        F.round(F.max("_gap").over(w10), 6).alias("gap_roll_max_10"),
+        F.count(F.lit(1)).over(wr30).alias("rate_30d"),
+        F.round(F.sum("_vc").over(wr30) / 100.0, 6).alias("value_sum_30d"),
+        F.round(
+            F.when((var_c > 0) & (m_c > 0), F.sqrt(var_c) / m_c).otherwise(0.0), 6
+        ).alias("value_cv_run"),
+        snap6(F.sum(k).over(w5) / F.count(k).over(w5)).alias("k_roll_mean_5"),
+        snap6(F.sum(k).over(wcum) / F.count(k).over(wcum)).alias("cum_k_mean"),
+        (~k.eqNullSafe(F.lag(k).over(w))).cast("int").alias("k_changed"),
+        F.concat_ws(">", F.lag("event_type").over(w), F.col("event_type")).alias(
+            "type_pair"
+        ),
+        (F.floor((F.dayofmonth("ts") - 1) / 7) + 1).cast("long").alias("week_of_month"),
+        (F.dayofmonth("ts") == 1).cast("int").alias("is_month_start"),
+        ((F.dayofweek("ts") - 1) * 24 + F.hour("ts")).cast("int").alias("hour_of_week"),
+        F.floor(
+            (F.col("_us") - F.min("_us").over(wp)).cast("double") / 1e6 / 86400
+        ).cast("long").alias("days_since_start"),
+        F.round(first_v, 6).alias("conv_first_value"),
+        F.round(v - first_v, 6).alias("value_vs_first"),
+        F.round(F.max("_gap").over(wcum), 6).alias("gap_max_run"),
+        F.round(F.sum("_gap_us").over(wcum) / 1e6, 6).alias("active_time_run_s"),
+        F.round(
+            F.round(F.sum("_gap_us").over(wcum) / F.count("_gap_us").over(wcum)) / 1e6, 6
+        ).alias("mean_gap_run"),
+        (~day_idx.eqNullSafe(F.lag(day_idx).over(w))).cast("int").alias("is_new_day"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-(v - 100) / 10)), 6).alias(
+            "sigmoid_steep_value"
+        ),
+        F.round(F.exp(F.lit(-0.5) * nsx * nsx), 6).alias("gauss_narrow_value"),
+        snap6(v * v * v / 100000).alias("value_cube_scaled"),
+        F.round(F.greatest(F.lit(0.0), v - 100), 6).alias("relu_value"),
+        snap6(v / n1d).alias("value_over_rate"),
+        F.sum(F.when(F.col("_gap") > 3600, 1).otherwise(0)).over(wcum).cast("long").alias(
+            "high_gap_count_run"
+        ),
         F.round(F.lead(v).over(w) - v, 6).alias("label_lead1_value_delta"),
     )
 

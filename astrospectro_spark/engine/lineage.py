@@ -38,6 +38,7 @@ jar ships in this sandbox):
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,6 +54,19 @@ LINEAGE_SCHEMA = (
 
 def _bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+
+
+def bucketize(df: DataFrame, n_buckets: int) -> DataFrame:
+    """Attach the engine's hash-bucket column.
+
+    Pre-staging contract: a table written
+    ``bucketize(df, n).write.partitionBy("_bucket")`` (or an Iceberg
+    table with the equivalent bucket transform) read back and passed to
+    :meth:`FeatureRun.run` skips the staging copy entirely — the
+    per-bucket filter partition-prunes the source directly, so a run
+    over an already-bucket-laid-out 100 TB table does ZERO extra
+    write+read. ``n_buckets`` must equal the FeatureRun's."""
+    return df.withColumn("_bucket", _bucket_col(n_buckets))
 
 
 def _checksum(df: DataFrame) -> tuple[int, int]:
@@ -120,26 +134,83 @@ class FeatureRun:
         """Write the input ONCE, partitioned by hash bucket; reuse on
         resume. Returns the staged frame, whose per-bucket filter is a
         partition-pruned directory read instead of a full-table scan.
-        The staged copy is keyed to this out_dir: callers re-running
-        with a DIFFERENT input table must use a fresh out_dir (same
-        contract as the committed feature partitions themselves)."""
+
+        The staged copy is keyed to this out_dir. A row-count
+        fingerprint is written next to the ``_SUCCESS`` marker at stage
+        time; resuming with an input whose row count differs FAILS
+        LOUDLY instead of silently mixing buckets from two different
+        inputs (parquet counts are footer-metadata reads, so the resume
+        check is ~free). A same-count different-content input evades
+        this cheap check — pass ``verify_input=True`` to
+        :meth:`run` for a full per-bucket checksum audit against the
+        lineage records."""
         marker = os.path.join(self.stage_dir, "_SUCCESS")
+        fp_path = os.path.join(self.stage_dir, "_fingerprint.json")
         if not os.path.exists(marker):
             turns.withColumn("_bucket", _bucket_col(self.n_buckets)).write.mode(
                 "overwrite"
             ).partitionBy("_bucket").parquet(self.stage_dir)
-        return self.spark.read.parquet(self.stage_dir)
+            staged = self.spark.read.parquet(self.stage_dir)
+            with open(fp_path, "w") as f:
+                json.dump({"input_rows": staged.count()}, f)
+            return staged
+        staged = self.spark.read.parquet(self.stage_dir)
+        if os.path.exists(fp_path):
+            with open(fp_path) as f:
+                want = json.load(f)["input_rows"]
+            got = turns.count()
+            if got != want:
+                raise ValueError(
+                    f"resume with a different input: staged snapshot holds {want} "
+                    f"rows but the passed input has {got}; use a fresh out_dir "
+                    f"for a new or updated input table"
+                )
+        return staged
+
+    def _verify_committed(self, staged: DataFrame, done: set[int]) -> None:
+        """Full-content audit (opt-in): recompute each committed
+        bucket's INPUT checksum from the current (staged or
+        pre-bucketed) frame and compare with the lineage record — a
+        changed input that kept its row count fails here."""
+        recorded = {
+            r.bucket: (r.input_rows, r.input_checksum)
+            for r in self.lineage().filter(F.col("status") == "committed").collect()
+        }
+        for b in sorted(done):
+            got = _checksum(staged.filter(F.col("_bucket") == b).drop("_bucket"))
+            if got != recorded.get(b):
+                raise ValueError(
+                    f"bucket {b}: input content changed since commit "
+                    f"(recorded {recorded.get(b)}, recomputed {got}); "
+                    f"use a fresh out_dir for a new input table"
+                )
 
     # -- run / resume ---------------------------------------------------
-    def run(self, turns: DataFrame, fail_after: int | None = None) -> dict:
+    def run(
+        self,
+        turns: DataFrame,
+        fail_after: int | None = None,
+        verify_input: bool = False,
+    ) -> dict:
         """Process all not-yet-committed buckets; idempotent.
 
+        If ``turns`` already carries a ``_bucket`` column (a
+        pre-bucketed table, see :func:`bucketize`) the staging copy is
+        SKIPPED — the per-bucket filter prunes the source layout
+        directly and the run does zero extra write at any scale.
+
         ``fail_after=k`` injects a crash after k bucket commits (test
-        hook for the kill-and-resume audit).
+        hook for the kill-and-resume audit). ``verify_input=True``
+        additionally re-checksums every already-committed bucket's
+        input against its lineage record before resuming (full read of
+        the committed partitions; off by default).
         """
         done = self.committed_buckets()
         todo = [b for b in range(self.n_buckets) if b not in done]
-        staged = self._stage(turns) if todo else None
+        prestaged = "_bucket" in turns.columns
+        staged = turns if prestaged else (self._stage(turns) if todo else None)
+        if verify_input and done and staged is not None:
+            self._verify_committed(staged, done)
         n_done = 0
         for b in todo:
             if fail_after is not None and n_done >= fail_after:

@@ -36,6 +36,8 @@ across as many chunks as needed to collect ``roll_rows-1`` rows).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -112,7 +114,8 @@ def featurize_salted(
     )
     out = cold_out.unionByName(hot_out.select(cold_out.columns))
     out._astrospectro_cached = handles  # fast path for the exact object
-    _CACHE_REGISTRY.extend(handles)  # survives downstream transformations
+    with _REGISTRY_LOCK:
+        _CACHE_REGISTRY.extend(handles)  # survives downstream transformations
     return out
 
 
@@ -120,24 +123,35 @@ def featurize_salted(
 # attribute on the returned DataFrame is lost as soon as a caller
 # transforms it (.select/.filter return new objects), so the registry is
 # the source of truth; the attribute just lets release_cached target one
-# specific result when several are in flight.
+# specific result when several are in flight. All mutations go through
+# _REGISTRY_LOCK so concurrent featurize_salted calls from multiple
+# driver threads cannot race extend() against the drain (a double
+# unpersist or a skipped handle).
 _CACHE_REGISTRY: list[DataFrame] = []
+_REGISTRY_LOCK = threading.Lock()
 
 
 def release_cached(df: DataFrame | None = None) -> None:
     """Unpersist intermediates the salted featurizer cached.
 
-    Pass the DataFrame returned by :func:`featurize_salted` (or any
-    derivative — if the dynamic attribute was lost in a transformation,
-    the module registry releases everything outstanding). Call after
-    the output is materialised (write/collect). ``release_cached()``
-    with no argument drains the registry unconditionally.
+    Pass the DataFrame returned by :func:`featurize_salted` to release
+    exactly that result's handles. If the dynamic attribute was lost in
+    a transformation (``.select``/``.filter`` return new objects), or
+    no argument is given, the WHOLE registry is drained — including
+    handles belonging to any other in-flight salted result. The
+    fallback is therefore only safe when a single salted result is in
+    flight (the FeatureRun loop's case: one bucket at a time); callers
+    running several salted featurizations concurrently must keep the
+    returned DataFrame and pass it here untransformed. Call after the
+    output is materialised (write/collect); idempotent either way.
     """
     handles = list(getattr(df, "_astrospectro_cached", [])) if df is not None else []
-    if not handles:
-        handles, _CACHE_REGISTRY[:] = list(_CACHE_REGISTRY), []
-    else:
-        _CACHE_REGISTRY[:] = [h for h in _CACHE_REGISTRY if all(h is not g for g in handles)]
+    with _REGISTRY_LOCK:
+        if not handles:
+            handles, _CACHE_REGISTRY[:] = list(_CACHE_REGISTRY), []
+        else:
+            drop = {id(g) for g in handles}
+            _CACHE_REGISTRY[:] = [h for h in _CACHE_REGISTRY if id(h) not in drop]
     for h in handles:
         try:
             h.unpersist()

@@ -73,44 +73,51 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     _force(featurize_expr(turns.limit(1000)))
 
-    timings: dict[str, float] = {}
-
-    def timed(name, thunk):
-        # best of 2: the sandbox host shows intermittent CPU steal
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            thunk()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-
-    timed("featurize_transcripts", lambda: _force(featurize_expr(turns)))
-    timed(
-        "featurize_feature_only",
-        lambda: _force(featurize_expr(turns, include_text=False)),
-    )
-    timed(
-        "featurize_wide",
-        lambda: _force(featurize_expr(turns, include_text=False, wide=True)),
-    )
     from astrospectro_spark.engine.skew import featurize_salted, release_cached
+    from astrospectro_spark.queries import q_feature_vector_wide
 
     def _salted():
         df = featurize_salted(turns, hot_threshold=100_000, chunk_target_rows=50_000)
         _force(df)
         release_cached(df)
 
-    timed("featurize_salted", _salted)
-    from astrospectro_spark.queries import q_feature_vector_wide
+    plan = [
+        ("featurize_transcripts", lambda: _force(featurize_expr(turns))),
+        (
+            "featurize_feature_only",
+            lambda: _force(featurize_expr(turns, include_text=False)),
+        ),
+        (
+            "featurize_wide",
+            lambda: _force(featurize_expr(turns, include_text=False, wide=True)),
+        ),
+        ("featurize_salted", _salted),
+        ("feature_vector_wide", lambda: _force(q_feature_vector_wide(spark, SF_DIR))),
+        (
+            "asof_anchors",
+            lambda: _force(asof_join(turns, anchors, tolerance_col="tolerance_s")),
+        ),
+        ("session_stats", lambda: _force(q_session_stats(spark, SF_DIR))),
+        ("pricing_summary", lambda: _force(q_pricing_summary(spark, SF_DIR))),
+        ("broadcast_enrich", lambda: _force(q_broadcast_enrich(spark, SF_DIR))),
+    ]
 
-    timed("feature_vector_wide", lambda: _force(q_feature_vector_wide(spark, SF_DIR)))
-    timed(
-        "asof_anchors",
-        lambda: _force(asof_join(turns, anchors, tolerance_col="tolerance_s")),
-    )
-    timed("session_stats", lambda: _force(q_session_stats(spark, SF_DIR)))
-    timed("pricing_summary", lambda: _force(q_pricing_summary(spark, SF_DIR)))
-    timed("broadcast_enrich", lambda: _force(q_broadcast_enrich(spark, SF_DIR)))
+    # Steal-resistance (this host shows multi-minute CPU-steal episodes,
+    # see BENCH/BASELINE.md methodology): run the WHOLE query list, then
+    # repeat it REPS times — interleaving means one steal episode hits
+    # each query at most once instead of poisoning all reps of one
+    # query — and take the per-query min; spread = max/min is reported
+    # so a contaminated invocation is self-diagnosing.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name, _ in plan}
+    for _ in range(reps):
+        for name, thunk in plan:
+            t0 = time.perf_counter()
+            thunk()
+            samples[name].append(time.perf_counter() - t0)
+
+    timings = {name: round(min(s), 4) for name, s in samples.items()}
+    spread = {name: round(max(s) / min(s), 2) for name, s in samples.items()}
 
     total = round(sum(timings.values()), 4)
     turns_per_sec = round(n_turns / timings["featurize_transcripts"], 1)
@@ -121,6 +128,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread_max_over_min": spread,
+                "reps": reps,
                 "sf": sf,
                 "n_turns": n_turns,
                 "turns_per_sec_featurize": turns_per_sec,

@@ -99,6 +99,67 @@ def test_bucket_reads_are_partition_pruned(spark, transcripts_sdf):
         assert os.path.getmtime(os.path.join(r.stage_dir, "_SUCCESS")) == m
 
 
+def test_prebucketed_input_skips_staging(spark, transcripts_sdf):
+    """An input already laid out by bucket (bucketize + partitionBy)
+    must be consumed directly: NO staging copy is written (zero extra
+    write+read at 100 TB), per-bucket reads partition-prune the source
+    layout, and kill-and-resume stays green."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from astrospectro_spark.engine.lineage import bucketize
+
+    with tempfile.TemporaryDirectory() as base:
+        src = f"{base}/prebucketed"
+        bucketize(transcripts_sdf, 4).write.partitionBy("_bucket").parquet(src)
+        pre = spark.read.parquet(src)
+
+        r = FeatureRun(spark, f"{base}/out", n_buckets=4, run_id="p1")
+        with pytest.raises(RuntimeError, match="injected failure"):
+            r.run(pre, fail_after=2)
+        assert not os.path.exists(r.stage_dir)  # staging skipped
+
+        resume = FeatureRun(spark, f"{base}/out", n_buckets=4, run_id="p2")
+        stats = resume.run(pre)
+        assert stats["buckets_skipped"] == 2 and stats["buckets_processed"] == 2
+        assert not os.path.exists(resume.stage_dir)
+
+        # the per-bucket read prunes the SOURCE partition layout
+        plan = (
+            pre.filter(F.col("_bucket") == 1)
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        )
+        assert "PartitionFilters" in plan
+        assert "_bucket" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+
+        plain = featurize_expr(transcripts_sdf).toPandas()
+        assert_frames_match(resume.result().toPandas(), plain, SORT, rtol=0, atol=0)
+
+
+def test_resume_with_different_input_fails_loudly(spark, transcripts_sdf):
+    """Resuming against a staged snapshot with a DIFFERENT input must
+    raise instead of silently emitting buckets from two inputs."""
+    with tempfile.TemporaryDirectory() as base:
+        r = FeatureRun(spark, f"{base}/x", n_buckets=4, run_id="a")
+        with pytest.raises(RuntimeError, match="injected failure"):
+            r.run(transcripts_sdf, fail_after=1)
+
+        other = transcripts_sdf.limit(50)
+        resume = FeatureRun(spark, f"{base}/x", n_buckets=4, run_id="b")
+        with pytest.raises(ValueError, match="different input"):
+            resume.run(other)
+
+        # same input resumes fine, including the opt-in content audit
+        stats = resume.run(transcripts_sdf, verify_input=True)
+        assert stats["buckets_processed"] == 3
+
+
 def test_featurizer_is_pluggable(spark, transcripts_sdf):
     from astrospectro_spark.engine.skew import featurize_salted
 

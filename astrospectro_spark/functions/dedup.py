@@ -74,6 +74,25 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def lsh_params_for_threshold(threshold: float, num_perm: int = 32) -> int:
+    """Pick the LSH band count whose S-curve midpoint ``(1/b)^(1/r)``
+    sits at or just below ``threshold`` (recall-first): a pair at
+    exactly the verify threshold then collides in at least one band
+    with probability ``1-(1-t^r)^b ≥ 1-(1-s^r)^b ≈ 63%`` rather than
+    the ~1% a mistuned geometry gives at low thresholds. Exact
+    verification downstream keeps precision, so erring toward more
+    bands (smaller rows-per-band) only costs candidate volume."""
+    best_b, best_s = num_perm, (1.0 / num_perm)  # b=num_perm, r=1 floor
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        s = (1.0 / b) ** (1.0 / r)
+        if s <= threshold and s > best_s:
+            best_b, best_s = b, s
+    return best_b
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -81,7 +100,9 @@ def ngram_jaccard_pairs(
     bucket_cols: tuple[str, ...] = ("lang", "source"),
     n: int = 3,
     threshold: float = 0.2,
-    max_block_rows: int | None = None,
+    max_block_rows: int | None = 100_000,
+    num_perm: int = 32,
+    bands: int | None = None,
 ) -> DataFrame:
     """Jaccard similarity of word n-gram shingle sets between document
     pairs sharing a cheap blocking key (≙ the reference's server-side
@@ -96,10 +117,18 @@ def ngram_jaccard_pairs(
     routes every OVERSIZED block through the MinHash+LSH band path
     (same shingles, same exact-Jaccard verification, so emitted pairs
     satisfy the identical ``jaccard >= threshold`` predicate; candidate
-    RECALL becomes the LSH band probability instead of exhaustive —
-    the documented trade for O(n·bands) instead of O(n²)). Small blocks
-    keep the exact all-pairs path. Default ``None`` = exact everywhere
-    (the driver-oracle configuration)."""
+    RECALL inside capped blocks becomes the LSH band-collision
+    probability instead of exhaustive — the documented trade for
+    O(n·bands) instead of O(n²)).
+
+    Defaults are the PRODUCTION configuration: ``max_block_rows=100_000``
+    (no block may go quadratic) and ``bands=None``, which derives the
+    band geometry from ``threshold`` via
+    :func:`lsh_params_for_threshold` so near-threshold recall stays
+    ≳60% at ANY threshold (a fixed 8×4 geometry has ~1% recall at
+    t=0.2). Oracle/exact runs pin ``max_block_rows=None`` explicitly
+    (all-pairs everywhere; the driver-contract configuration) —
+    ``num_perm``/``bands`` are then unused."""
     d = df.select(
         F.col(id_col),
         *[F.col(c) for c in bucket_cols],
@@ -138,6 +167,8 @@ def ngram_jaccard_pairs(
         big,
         text_col=text_col,
         id_col=id_col,
+        num_perm=num_perm,
+        bands=bands,
         ngram=n,
         verify_threshold=threshold,
         block_cols=bucket_cols,
@@ -166,7 +197,7 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perm: int = 32,
-    bands: int = 8,
+    bands: int | None = None,
     ngram: int = 3,
     verify_threshold: float = 0.5,
     block_cols: tuple[str, ...] = (),
@@ -185,7 +216,15 @@ def minhash_lsh_candidates(
     ``block_cols`` adds coarse keys to the band-bucket join (pairs must
     share the block too) and to the output — used by
     :func:`ngram_jaccard_pairs` to cap oversized blocks.
+
+    ``bands=None`` (production default) derives the band geometry from
+    ``verify_threshold`` (:func:`lsh_params_for_threshold`) so
+    near-threshold recall does not collapse at low thresholds; pin it
+    (the driver oracle pins ``bands=8``) for a reproducible fixed
+    geometry.
     """
+    if bands is None:
+        bands = lsh_params_for_threshold(verify_threshold, num_perm)
     rows_per_band = num_perm // bands
     blocks = list(block_cols)
     d = df.select(

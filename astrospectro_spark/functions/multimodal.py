@@ -40,11 +40,28 @@ THUMB = 16
 FRAME_SAMPLE_EVERY_S = 1.0
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except Exception:  # noqa: BLE001 — any import failure means "absent"
+        return False
+
+
 def _decode_real(payload: bytes, kind: str) -> np.ndarray:
-    """Real decode path — requires media libraries not present here."""
+    """Real decode path: PIL for images (grayscale float64 samples);
+    audio/video would need librosa/av, which this container lacks —
+    those kinds raise so the gap is loud, never silently wrong."""
+    if kind == "image":
+        from io import BytesIO
+
+        from PIL import Image
+
+        img = Image.open(BytesIO(payload)).convert("L")
+        return np.asarray(img, dtype=np.float64).ravel()
     raise NotImplementedError(
-        "media decode requires PIL/librosa/av; not available in this "
-        "container — using the deterministic fake decoder instead"
+        f"real {kind} decode requires librosa/av; not available in this container"
     )
 
 
@@ -54,7 +71,12 @@ def _decode_fake(payload: bytes, kind: str) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
 
 
-DECODER = _decode_fake
+# Capability gate: auto-select the real decoder when the media libs are
+# importable (a real cluster), fall back to the deterministic stand-in
+# here. The gate swaps ONLY this callable — schema, Arrow batch shape,
+# partitioning and kernel signature are identical on both sides
+# (pytest-proven via the decoder override in extract_media_features).
+DECODER = _decode_real if _pil_available() else _decode_fake
 
 
 KINDS = ("image", "audio", "video")
@@ -116,15 +138,20 @@ def synth_media(n: int = 64, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def extract_media_features(df: DataFrame) -> DataFrame:
+def extract_media_features(df: DataFrame, decoder=None) -> DataFrame:
     """decode → resize/frame-sample → feature rows, one Arrow batch at
-    a time. Pure mapInPandas: no collect, no per-row Python UDF."""
+    a time. Pure mapInPandas: no collect, no per-row Python UDF.
+
+    ``decoder`` overrides the module-level capability-gated
+    :data:`DECODER` (tests use this to prove the real/fake swap changes
+    no plumbing — only the decoded sample values)."""
+    decode = decoder if decoder is not None else DECODER
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                data = DECODER(bytes(r.payload), r.kind)
+                data = decode(bytes(r.payload), r.kind)
                 if r.kind == "image":
                     # 'resize': bucket-mean downsample to a THUMB*THUMB grid
                     tw = th = THUMB

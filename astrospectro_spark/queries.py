@@ -1110,20 +1110,26 @@ def q_fingerprint_stats(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """word-3gram Jaccard near-dup pairs within (lang, source) blocks."""
+    """word-3gram Jaccard near-dup pairs within (lang, source) blocks.
+
+    ``max_block_rows=None`` is pinned: the ORACLE configuration is
+    exact all-pairs everywhere (the library's production default is a
+    finite 100k cap that reroutes oversized blocks through LSH)."""
     from astrospectro_spark.functions.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, threshold=0.2)
+    return ngram_jaccard_pairs(d, threshold=0.2, max_block_rows=None)
 
 
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates (md5-derived hashes → full
-    DuckDB oracle; band join shuffles ids only)."""
+    DuckDB oracle; band join shuffles ids only). ``bands=8`` is pinned
+    to the oracle's fixed geometry (the library default derives bands
+    from the verify threshold)."""
     from astrospectro_spark.functions.dedup import minhash_lsh_candidates
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(d, verify_threshold=0.3)
+    return minhash_lsh_candidates(d, verify_threshold=0.3, bands=8)
 
 
 def q_simhash(spark, sf_dir):
@@ -1296,8 +1302,13 @@ def q_media_features(spark, sf_dir):
         media_from_docs,
     )
 
+    from astrospectro_spark.functions.multimodal import _decode_fake
+
+    # the deterministic decoder is PINNED here (oracle config): payloads
+    # are closed-form byte sequences, not real image files, so the
+    # capability-gated real decoder must not engage even where PIL exists
     media = media_from_docs(_t(spark, sf_dir, "documents")).repartition(8)
-    return extract_media_features(media).select(
+    return extract_media_features(media, decoder=_decode_fake).select(
         "media_id",
         "kind",
         "n_bytes",

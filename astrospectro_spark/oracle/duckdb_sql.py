@@ -368,14 +368,30 @@ WITH g AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
-  SELECT *, CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END AS sb FROM g
+  SELECT *, CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END AS sb,
+         least(vc // 100, 1000) AS vi,
+         lag(vc) OVER w AS lagvc,
+         CASE WHEN value > 150 THEN 1 ELSE 0 END AS hi,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS ef
+  FROM g
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s2 AS (
   SELECT *,
          CAST(sum(vc) OVER wc AS BIGINT) AS cvc,
-         CAST(sum(vc * vc) OVER wc AS BIGINT) AS cvc2
+         CAST(sum(vc * vc) OVER wc AS BIGINT) AS cvc2,
+         CAST(sum(sb) OVER wc AS BIGINT) AS sid,
+         CAST(sum(vi) OVER wc AS BIGINT) AS cvi,
+         CAST(sum(vi * vi) OVER wc AS BIGINT) AS cvi2,
+         CAST(sum(vi * vi * vi) OVER wc AS BIGINT) AS cvi3,
+         CAST(sum(vi * vi * vi * vi) OVER wc AS BIGINT) AS cvi4,
+         (u - min(u) OVER wp)::DOUBLE
+           / greatest(max(u) OVER wp - min(u) OVER wp, 1)::DOUBLE AS x,
+         CASE WHEN sb = 1 OR rn = 1 THEN 0
+              ELSE (vc + lagvc) * gap_us END AS seg_sess
   FROM s
   WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wp AS (PARTITION BY user_id)
 ), s3 AS (
   SELECT *,
          CAST(rn - coalesce(last_value(CASE WHEN sb = 1 THEN rn - 1 END IGNORE NULLS)
@@ -385,11 +401,44 @@ WITH g AS (
          CAST(rn - coalesce(last_value(CASE WHEN tc = 1 THEN rn - 1 END IGNORE NULLS)
                             OVER wc, 0) AS BIGINT) AS streak,
          (u - coalesce(last_value(CASE WHEN sb = 1 THEN u END IGNORE NULLS) OVER wc,
-                       min(u) OVER wp))::DOUBLE / 1e6 AS elapsed_raw
+                       min(u) OVER wp))::DOUBLE / 1e6 AS elapsed_raw,
+         (count(*) OVER wp)::DOUBLE AS pn,
+         sum(x) OVER wp AS ps1,
+         sum(x * x) OVER wp AS ps2,
+         sum(x * x * x) OVER wp AS ps3,
+         sum(x * x * x * x) OVER wp AS ps4,
+         sum(value) OVER wp AS pt0,
+         sum(x * value) OVER wp AS pt1,
+         sum(x * x * value) OVER wp AS pt2
   FROM s2
   WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
          wp AS (PARTITION BY user_id)
+), s4 AS (
+  SELECT *,
+         CAST(sum(hi) OVER ws AS BIGINT) AS s_hi,
+         CAST(sum(ef) OVER ws AS BIGINT) AS s_ef,
+         CAST(sum(vc) OVER ws AS BIGINT) AS s_c1,
+         CAST(sum(vc * vc) OVER ws AS BIGINT) AS s_c2,
+         CAST(sum(vi) OVER ws AS BIGINT) AS s_i1,
+         CAST(sum(vi * vi) OVER ws AS BIGINT) AS s_i2,
+         CAST(sum(vi * vi * vi) OVER ws AS BIGINT) AS s_i3,
+         CAST(sum(seg_sess) OVER ws AS BIGINT) AS s_auc,
+         max(CASE WHEN sb = 0 AND rn > 1 THEN gap_us END) OVER ws AS s_gapmax,
+         first_value(value) OVER ws AS s_first,
+         max(vc) OVER ws AS s_vmax,
+         min(vc) OVER ws AS s_vmin,
+         pn * (ps2 * ps4 - ps3 * ps3) - ps1 * (ps1 * ps4 - ps3 * ps2)
+           + ps2 * (ps1 * ps3 - ps2 * ps2) AS det,
+         pt0 * (ps2 * ps4 - ps3 * ps3) - ps1 * (pt1 * ps4 - ps3 * pt2)
+           + ps2 * (pt1 * ps3 - ps2 * pt2) AS dd0,
+         pn * (pt1 * ps4 - ps3 * pt2) - pt0 * (ps1 * ps4 - ps3 * ps2)
+           + ps2 * (ps1 * pt2 - pt1 * ps2) AS dd1,
+         pn * (ps2 * pt2 - ps3 * pt1) - ps1 * (ps1 * pt2 - ps3 * pt0)
+           + pt0 * (ps1 * ps3 - ps2 * ps2) AS dd2
+  FROM s3
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT event_id, user_id, u AS ts_us,
   CAST(sum(sb) OVER wc AS BIGINT) AS session_id,
@@ -539,8 +588,91 @@ SELECT event_id, user_id, u AS ts_us,
   round(round((value / count(*) OVER wr1) * 1e6, 0) / 1e6, 6) AS value_over_rate,
   CAST(sum(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) OVER wc AS BIGINT)
     AS high_gap_count_run,
+  round(s_vmax / 100.0, 6) AS sess_run_max_value,
+  round(s_vmin / 100.0, 6) AS sess_run_min_value,
+  round((s_vmax - s_vmin) / 100.0, 6) AS sess_depth_run,
+  s_hi AS sess_high_count,
+  round(round((s_hi::DOUBLE / tis) * 1e6, 0) / 1e6, 6) AS sess_emission_idx,
+  s_ef AS sess_n_errors,
+  round(sqrt(greatest(0.0, s_c2 / tis - (s_c1 / tis) * (s_c1 / tis))) / 100, 6)
+    AS sess_std_value,
+  round(CASE WHEN s_i2 / tis - (s_i1 / tis) * (s_i1 / tis) > 0
+        THEN (s_i3 / tis - 3 * (s_i1 / tis) * (s_i2 / tis)
+              + 2 * (s_i1 / tis) * (s_i1 / tis) * (s_i1 / tis))
+             / ((s_i2 / tis - (s_i1 / tis) * (s_i1 / tis))
+                * sqrt(s_i2 / tis - (s_i1 / tis) * (s_i1 / tis))) END, 6) + 0
+    AS sess_skew_value,
+  round(s_auc / 2e8, 4) + 0 AS sess_auc_trapezoid,
+  round(CASE WHEN s_gapmax >= 0 THEN s_gapmax / 1e6 END, 6) AS sess_gap_max_s,
+  round(s_first, 6) AS sess_first_value,
+  round(value - s_first, 6) + 0 AS value_vs_sess_first,
+  round(CASE WHEN cvi2 / rn - (cvi / rn) * (cvi / rn) > 0
+        THEN (cvi3 / rn - 3 * (cvi / rn) * (cvi2 / rn)
+              + 2 * (cvi / rn) * (cvi / rn) * (cvi / rn))
+             / ((cvi2 / rn - (cvi / rn) * (cvi / rn))
+                * sqrt(cvi2 / rn - (cvi / rn) * (cvi / rn))) END, 6) + 0
+    AS run_skew_value,
+  round(round((CASE WHEN cvi2 / rn - (cvi / rn) * (cvi / rn) > 0
+        THEN (cvi4 / rn - 4 * (cvi / rn) * (cvi3 / rn)
+              + 6 * (cvi / rn) * (cvi / rn) * (cvi2 / rn)
+              - 3 * (cvi / rn) * (cvi / rn) * (cvi / rn) * (cvi / rn))
+             / ((cvi2 / rn - (cvi / rn) * (cvi / rn))
+                * (cvi2 / rn - (cvi / rn) * (cvi / rn))) - 3 END) * 1e6, 0) / 1e6, 6) + 0
+    AS run_kurt_value,
+  round(CASE WHEN pn >= 10 AND det <> 0
+        THEN dd0 / det + (dd1 / det) * x + (dd2 / det) * x * x END, 4) + 0
+    AS ms_poly_pred,
+  round(CASE WHEN pn >= 10 AND det <> 0
+        THEN value - (dd0 / det + (dd1 / det) * x + (dd2 / det) * x * x) END, 4) + 0
+    AS ms_delta_resid,
+  round(0.5 * (1.0 / (1.0 + exp(-(value - 100) / 25)))
+        + 0.3 * exp(-0.5 * ((value - 120) / 30) * ((value - 120) / 30))
+        + 0.2 * greatest(0.0, least(1.0, (value - 80) / 40)), 6) AS grp_sigmoid_blend,
+  round(0.6 * ln(1 + value) + 0.4 * sqrt(value), 6) AS grp_log_sqrt_blend,
+  round(exp(-0.5 * ((value - 120) / 30) * ((value - 120) / 30))
+        - exp(-0.5 * ((value - 120) / 10) * ((value - 120) / 10)), 6) + 0
+    AS grp_gauss_contrast,
+  round(greatest(0.0, value - 100) / 100 * (1.0 / (1.0 + exp(-(value - 100) / 25))), 6)
+    AS line_blend_idx,
+  round(round(((value - 120) / (value + 120)) * 1e6, 0) / 1e6, 6) + 0 AS ew_balance_idx,
+  (CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'purchase' THEN 3
+        WHEN 'signup' THEN 4 WHEN 'error' THEN 5 ELSE 0 END)::INT AS grp_count_idx,
+  round(value - lag(value, 6) OVER w, 6) + 0 AS lag6_value_delta,
+  round(value - lag(value, 7) OVER w, 6) + 0 AS lag7_value_delta,
+  round((u - lag(u, 3) OVER w)::DOUBLE / 1e6, 6) AS lag3_ts_gap_s,
+  round(round((CAST(sum(vc) OVER w50 AS BIGINT) / count(*) OVER w50 / 100) * 1e6, 0) / 1e6, 6)
+    AS roll_mean_value_50,
+  round(CAST(sum(vc) OVER w50 AS BIGINT) / 100.0, 6) AS roll_sum_value_50,
+  round(min(value) OVER w50, 6) AS roll_min_value_50,
+  round(max(value) OVER w50, 6) AS roll_max_value_50,
+  round(sqrt(greatest(0.0, avg(vc * vc) OVER w20 - avg(vc) OVER w20 * avg(vc) OVER w20))
+        / 100, 6) AS roll_std_value_20,
+  round(max(gap_s) OVER w20, 6) AS gap_roll_max_20,
+  round(round(CAST(sum(gap_us) OVER w20 AS BIGINT) / count(gap_us) OVER w20, 0) / 1e6, 6)
+    AS gap_roll_mean_20,
+  count(*) OVER wr12 AS rate_12h,
+  round(CAST(sum(vc) OVER wr12 AS BIGINT) / 100.0, 6) AS value_sum_12h,
+  round(CASE WHEN avg(vc * vc) OVER w5 - avg(vc) OVER w5 * avg(vc) OVER w5 > 0
+        THEN (vc - avg(vc) OVER w5)
+             / sqrt(avg(vc * vc) OVER w5 - avg(vc) OVER w5 * avg(vc) OVER w5)
+        ELSE 0.0 END, 6) + 0 AS value_zscore_roll_5,
+  round(round((CASE WHEN lag(value, 5) OVER w > 0
+        THEN (value - lag(value, 5) OVER w) / lag(value, 5) OVER w END) * 1e6, 0) / 1e6, 6) + 0
+    AS pct_change_5,
+  round((vc - 2 * lagvc + lag(vc, 2) OVER w) / 100.0, 6) + 0 AS accel_value,
+  round(round((CASE WHEN lag(gap_us) OVER w > 0
+        THEN gap_us / (lag(gap_us) OVER w) END) * 1e6, 0) / 1e6, 6) AS gap_ratio,
+  dayofyear(ts)::INT AS day_of_year,
+  year(ts)::INT AS "year",
+  (CASE WHEN month(ts) IN (1, 4, 7, 10) AND day(ts) = 1 THEN 1 ELSE 0 END)::INT
+    AS is_quarter_start,
+  k * k AS k_sq,
+  CAST(floor(k / 10) AS BIGINT) AS k_bucket,
+  max(k) OVER wc AS run_k_max,
+  k - lag(k) OVER w AS k_lag1_delta,
+  (event_type IS NOT DISTINCT FROM lag(event_type) OVER w)::INT AS is_repeat_type,
   round(lead(value) OVER w - value, 6) + 0 AS label_lead1_value_delta
-FROM s3
+FROM s4
 WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
        wc AS (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -555,6 +687,10 @@ WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
        w20 AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+       w50 AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW),
+       wr12 AS (PARTITION BY user_id ORDER BY u
+                RANGE BETWEEN 43200000000 PRECEDING AND CURRENT ROW),
        wr30 AS (PARTITION BY user_id ORDER BY u
                 RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
 """,

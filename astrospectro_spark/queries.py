@@ -666,9 +666,9 @@ def q_feature_vector(spark, sf_dir):
 
 
 def q_feature_vector_wide(spark, sf_dir):
-    """FLAGSHIP-WIDE: the 130-column locked per-turn feature schema in
-    ONE window plan — the growth of q_feature_vector's 13 columns
-    toward the reference's 174-feature battery
+    """FLAGSHIP-WIDE: the 176-column locked per-turn feature schema in
+    ONE window plan — the full graft of the reference's 174-feature
+    battery + post-merge columns
     (src/pipeline/feature_engineering.py:1222-1358, dry-run name lock
     :277-285). Every window shares partitionBy(user_id) (ordered, row-
     frame, range-frame, and unordered variants of the SAME key), so
@@ -678,12 +678,33 @@ def q_feature_vector_wide(spark, sf_dir):
     Composites (sigmoid/Gaussian/ramp/clip/binning/softsign) are
     row-wise codegen expressions.
 
-    Cross-engine exactness for the NEW windowed sums: ``value`` carries
+    Cross-engine exactness for the windowed sums: ``value`` carries
     exactly 2 decimals, so sums run over ``_vc = round(value*100)``
     int64 cents — integer window arithmetic is bit-identical in any
     engine (the same discipline the transcript tier uses with int
     text_len), and a single final divide by 100 restores the scale.
-    Doubles derived from identical ints are themselves identical."""
+    Doubles derived from identical ints are themselves identical.
+    Higher moments (running/session skewness & kurtosis) use
+    ``_vi = least(_vc div 100, 1000)`` integer units so the 4th-power
+    cumulative sums stay inside int64 (overflow at ~9e6 rows/entity —
+    far above any conversation here; the engine tier caps the same
+    way).
+
+    Per-SESSION running aggregates without a (user, session) exchange:
+    subtractable aggregates (sums/counts) carry the cumulative value at
+    the last session boundary; max/min use the lexicographic
+    struct-max trick — ``max(struct(session_id, x))`` over the
+    cumulative frame lands on the current session because session_id
+    is nondecreasing, giving the within-session running max of x. The
+    DuckDB oracle computes the same values with plain
+    (user_id, session_id) windows.
+
+    The main-sequence-delta residual (reference A7,
+    feature_engineering.py:1715-1752) is inlined as ms_poly_pred /
+    ms_delta_resid: per-entity deg-2 Cramer fit from unordered-window
+    moment sums over the SAME partition key (term-for-term identical
+    to the oracle; round(4) absorbs the engines' different
+    double-summation orders, same discipline as q_poly_residuals)."""
     ev = _t(spark, sf_dir, "events")
     w = _W()
     wcum = _wcum()
@@ -705,9 +726,49 @@ def q_feature_vector_wide(spark, sf_dir):
             ).otherwise(0),
         )
     )
-    # second stage: cumulative cent-sums feed further windows (carry)
-    df = df.withColumn("_cvc", F.sum("_vc").over(wcum)).withColumn(
-        "_cvc2", F.sum(F.col("_vc") * F.col("_vc")).over(wcum)
+    # integer-unit value for higher moments (int64-safe 4th powers) and
+    # the lagged cents the session trapezoid needs
+    df = (
+        df.withColumn("_vi", F.least(F.expr("_vc div 100"), F.lit(1000)))
+        .withColumn("_lagvc", F.lag("_vc").over(w))
+        .withColumn("_hi", F.when(v > 150, 1).otherwise(0))
+        .withColumn("_ef", F.when(F.col("event_type") == "error", 1).otherwise(0))
+    )
+    # second stage: cumulative int sums feed further windows (carry);
+    # _sid staged so the struct-max session trick can reference it
+    vi = F.col("_vi")
+    seg_sess = F.when(
+        (F.col("_sb") == 1) | (F.col("_rn") == 1), F.lit(0)
+    ).otherwise((F.col("_vc") + F.col("_lagvc")) * F.col("_gap_us"))
+    df = (
+        df.withColumn("_cvc", F.sum("_vc").over(wcum))
+        .withColumn("_cvc2", F.sum(F.col("_vc") * F.col("_vc")).over(wcum))
+        .withColumn("_sid", F.sum("_sb").over(wcum).cast("long"))
+        .withColumn("_cvi", F.sum(vi).over(wcum))
+        .withColumn("_cvi2", F.sum(vi * vi).over(wcum))
+        .withColumn("_cvi3", F.sum(vi * vi * vi).over(wcum))
+        .withColumn("_cvi4", F.sum(vi * vi * vi * vi).over(wcum))
+        .withColumn("_chigh", F.sum("_hi").over(wcum))
+        .withColumn("_cerr", F.sum("_ef").over(wcum))
+        .withColumn("_cseg", F.sum(seg_sess).over(wcum))
+    )
+    # per-entity deg-2 fit inputs: x normalized to [0,1] on the entity's
+    # time span (well conditioned), then unordered-window moment sums
+    wp0 = Window.partitionBy("user_id")
+    span = F.greatest(F.max("_us").over(wp0) - F.min("_us").over(wp0), F.lit(1))
+    df = df.withColumn(
+        "_x", (F.col("_us") - F.min("_us").over(wp0)).cast("double") / span.cast("double")
+    )
+    xx = F.col("_x")
+    df = (
+        df.withColumn("_pn", F.count(F.lit(1)).over(wp0).cast("double"))
+        .withColumn("_ps1", F.sum(xx).over(wp0))
+        .withColumn("_ps2", F.sum(xx * xx).over(wp0))
+        .withColumn("_ps3", F.sum(xx * xx * xx).over(wp0))
+        .withColumn("_ps4", F.sum(xx * xx * xx * xx).over(wp0))
+        .withColumn("_pt0", F.sum(v).over(wp0))
+        .withColumn("_pt1", F.sum(xx * v).over(wp0))
+        .withColumn("_pt2", F.sum(xx * xx * v).over(wp0))
     )
     wr1 = wp.orderBy("_us").rangeBetween(-86_400 * 1_000_000, 0)
     wr7 = wp.orderBy("_us").rangeBetween(-7 * 86_400 * 1_000_000, 0)
@@ -763,6 +824,104 @@ def q_feature_vector_wide(spark, sf_dir):
     # double division would lose µs precision; div keeps it exact)
     day_idx = F.expr("_us div 86400000000")
     nsx = (v - 120) / 10
+
+    # ---- growth-tier-3 helpers ----
+    # session carries: within-session running value of a subtractable
+    # cumulative = cum minus its value just BEFORE the last boundary row
+    def _sess(cum_col, own):
+        return F.col(cum_col) - F.coalesce(
+            F.last(
+                F.when(F.col("_sb") == 1, F.col(cum_col) - own), ignorenulls=True
+            ).over(wcum),
+            F.lit(0),
+        )
+
+    vi = F.col("_vi")
+    sess_hi = _sess("_chigh", F.col("_hi"))
+    sess_err = _sess("_cerr", F.col("_ef"))
+    sess_i1 = _sess("_cvi", vi)
+    sess_i2 = _sess("_cvi2", vi * vi)
+    sess_i3 = _sess("_cvi3", vi * vi * vi)
+    sess_c2 = _sess("_cvc2", F.col("_vc") * F.col("_vc"))
+    # the boundary row's trapezoid segment is zeroed, so its carry is
+    # the plain cumulative value at the boundary
+    sess_auc_int = F.col("_cseg") - F.coalesce(
+        F.last(F.when(F.col("_sb") == 1, F.col("_cseg")), ignorenulls=True).over(wcum),
+        F.lit(0),
+    )
+    # lexicographic struct-max: session_id is nondecreasing, so the max
+    # struct lands in the CURRENT session → within-session running max
+    smax_vc = (
+        F.max(F.struct(F.col("_sid").alias("s"), F.col("_vc").alias("x")))
+        .over(wcum)
+        .getField("x")
+    )
+    smin_vc = -(
+        F.max(F.struct(F.col("_sid").alias("s"), (-F.col("_vc")).alias("x")))
+        .over(wcum)
+        .getField("x")
+    )
+    g_in_sess = F.when(
+        (F.col("_sb") == 0) & (F.col("_rn") > 1), F.col("_gap_us")
+    ).otherwise(F.lit(-1))
+    smax_gap = (
+        F.max(F.struct(F.col("_sid").alias("s"), g_in_sess.alias("x")))
+        .over(wcum)
+        .getField("x")
+    )
+    sess_first = F.coalesce(
+        F.last(F.when(F.col("_sb") == 1, v), ignorenulls=True).over(wcum), first_v
+    )
+    # running integer-unit moments (skew/kurtosis of floor(value))
+    rnd = F.col("_rn")
+    im1, im2 = F.col("_cvi") / rnd, F.col("_cvi2") / rnd
+    im3, im4 = F.col("_cvi3") / rnd, F.col("_cvi4") / rnd
+    ivar = im2 - im1 * im1
+    imu3 = im3 - 3 * im1 * im2 + 2 * im1 * im1 * im1
+    imu4 = im4 - 4 * im1 * im3 + 6 * im1 * im1 * im2 - 3 * im1 * im1 * im1 * im1
+    sm1, sm2, sm3 = sess_i1 / tis, sess_i2 / tis, sess_i3 / tis
+    svar = sm2 - sm1 * sm1
+    smu3 = sm3 - 3 * sm1 * sm2 + 2 * sm1 * sm1 * sm1
+    # per-entity deg-2 Cramer fit (A7 main-sequence delta) from the
+    # staged unordered-window moment sums — term-for-term the oracle's
+    pn = F.col("_pn")
+    ps1, ps2, ps3, ps4 = F.col("_ps1"), F.col("_ps2"), F.col("_ps3"), F.col("_ps4")
+    pt0, pt1, pt2 = F.col("_pt0"), F.col("_pt1"), F.col("_pt2")
+    det = (
+        pn * (ps2 * ps4 - ps3 * ps3)
+        - ps1 * (ps1 * ps4 - ps3 * ps2)
+        + ps2 * (ps1 * ps3 - ps2 * ps2)
+    )
+    d0 = (
+        pt0 * (ps2 * ps4 - ps3 * ps3)
+        - ps1 * (pt1 * ps4 - ps3 * pt2)
+        + ps2 * (pt1 * ps3 - ps2 * pt2)
+    )
+    d1 = (
+        pn * (pt1 * ps4 - ps3 * pt2)
+        - pt0 * (ps1 * ps4 - ps3 * ps2)
+        + ps2 * (ps1 * pt2 - pt1 * ps2)
+    )
+    d2 = (
+        pn * (ps2 * pt2 - ps3 * pt1)
+        - ps1 * (ps1 * pt2 - ps3 * pt0)
+        + pt0 * (ps1 * ps3 - ps2 * ps2)
+    )
+    xx = F.col("_x")
+    pred = d0 / det + (d1 / det) * xx + (d2 / det) * xx * xx
+    fit_ok = (pn >= 10) & (det != 0)
+    # element-group raw composites (reference :536-599 weighted blends)
+    sig_raw = F.lit(1.0) / (F.lit(1.0) + F.exp(-(v - 100) / 25))
+    gauss_raw = F.exp(F.lit(-0.5) * ((v - 120) / 30) * ((v - 120) / 30))
+    ramp_raw = F.greatest(F.lit(0.0), F.least(F.lit(1.0), (v - 80) / 40))
+    gauss_nar_raw = F.exp(F.lit(-0.5) * nsx * nsx)
+    # extra frames
+    w50 = w.rowsBetween(-49, 0)
+    wr12 = wp.orderBy("_us").rangeBetween(-12 * 3600 * 1_000_000, 0)
+    vc20_m = F.avg("_vc").over(w20)
+    vc20_m2 = F.avg(F.col("_vc") * F.col("_vc")).over(w20)
+    var5c = vc5_m2 - vc5_m * vc5_m
+    lag5v = F.lag(v, 5).over(w)
 
     def snap6(c):
         """Tie-safe round(x, 6) for RATIONAL expressions: scale to the
@@ -958,6 +1117,99 @@ def q_feature_vector_wide(spark, sf_dir):
         snap6(v / n1d).alias("value_over_rate"),
         F.sum(F.when(F.col("_gap") > 3600, 1).otherwise(0)).over(wcum).cast("long").alias(
             "high_gap_count_run"
+        ),
+        # ---- growth tier 3 (columns 131-176): per-session morphology
+        # battery, running moments, A7 poly residual, element-group
+        # composites, extra lag/roll/rate frames ----
+        F.round(smax_vc / 100.0, 6).alias("sess_run_max_value"),
+        F.round(smin_vc / 100.0, 6).alias("sess_run_min_value"),
+        F.round((smax_vc - smin_vc) / 100.0, 6).alias("sess_depth_run"),
+        sess_hi.cast("long").alias("sess_high_count"),
+        snap6(sess_hi.cast("double") / tis).alias("sess_emission_idx"),
+        sess_err.cast("long").alias("sess_n_errors"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0), sess_c2 / tis - (sess_cents / tis) * (sess_cents / tis)
+                )
+            )
+            / 100,
+            6,
+        ).alias("sess_std_value"),
+        F.round(F.when(svar > 0, smu3 / (svar * F.sqrt(svar))), 6).alias(
+            "sess_skew_value"
+        ),
+        F.round(sess_auc_int / 2e8, 4).alias("sess_auc_trapezoid"),
+        F.round(F.when(smax_gap >= 0, smax_gap / 1e6), 6).alias("sess_gap_max_s"),
+        F.round(sess_first, 6).alias("sess_first_value"),
+        F.round(v - sess_first, 6).alias("value_vs_sess_first"),
+        F.round(F.when(ivar > 0, imu3 / (ivar * F.sqrt(ivar))), 6).alias(
+            "run_skew_value"
+        ),
+        snap6(F.when(ivar > 0, imu4 / (ivar * ivar) - 3)).alias("run_kurt_value"),
+        F.round(F.when(fit_ok, pred), 4).alias("ms_poly_pred"),
+        F.round(F.when(fit_ok, v - pred), 4).alias("ms_delta_resid"),
+        F.round(0.5 * sig_raw + 0.3 * gauss_raw + 0.2 * ramp_raw, 6).alias(
+            "grp_sigmoid_blend"
+        ),
+        F.round(0.6 * F.log1p(v) + 0.4 * F.sqrt(v), 6).alias("grp_log_sqrt_blend"),
+        F.round(gauss_raw - gauss_nar_raw, 6).alias("grp_gauss_contrast"),
+        F.round(F.greatest(F.lit(0.0), v - 100) / 100 * sig_raw, 6).alias(
+            "line_blend_idx"
+        ),
+        snap6((v - 120) / (v + 120)).alias("ew_balance_idx"),
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "error", 5)
+        .otherwise(0)
+        .cast("int")
+        .alias("grp_count_idx"),
+        F.round(v - F.lag(v, 6).over(w), 6).alias("lag6_value_delta"),
+        F.round(v - F.lag(v, 7).over(w), 6).alias("lag7_value_delta"),
+        F.round(
+            (F.col("_us") - F.lag(F.col("_us"), 3).over(w)).cast("double") / 1e6, 6
+        ).alias("lag3_ts_gap_s"),
+        snap6(F.sum("_vc").over(w50) / F.count(F.lit(1)).over(w50) / 100).alias(
+            "roll_mean_value_50"
+        ),
+        F.round(F.sum("_vc").over(w50) / 100.0, 6).alias("roll_sum_value_50"),
+        F.round(F.min(v).over(w50), 6).alias("roll_min_value_50"),
+        F.round(F.max(v).over(w50), 6).alias("roll_max_value_50"),
+        F.round(
+            F.sqrt(F.greatest(F.lit(0.0), vc20_m2 - vc20_m * vc20_m)) / 100, 6
+        ).alias("roll_std_value_20"),
+        F.round(F.max("_gap").over(w20), 6).alias("gap_roll_max_20"),
+        F.round(
+            F.round(F.sum("_gap_us").over(w20) / F.count("_gap_us").over(w20)) / 1e6, 6
+        ).alias("gap_roll_mean_20"),
+        F.count(F.lit(1)).over(wr12).alias("rate_12h"),
+        F.round(F.sum("_vc").over(wr12) / 100.0, 6).alias("value_sum_12h"),
+        F.round(
+            F.when(var5c > 0, (F.col("_vc") - vc5_m) / F.sqrt(var5c)).otherwise(0.0), 6
+        ).alias("value_zscore_roll_5"),
+        snap6(F.when(lag5v > 0, (v - lag5v) / lag5v)).alias("pct_change_5"),
+        F.round(
+            (F.col("_vc") - 2 * F.col("_lagvc") + F.lag("_vc", 2).over(w)) / 100.0, 6
+        ).alias("accel_value"),
+        snap6(
+            F.when(
+                F.lag("_gap_us").over(w) > 0,
+                F.col("_gap_us") / F.lag("_gap_us").over(w),
+            )
+        ).alias("gap_ratio"),
+        F.dayofyear("ts").cast("int").alias("day_of_year"),
+        F.year("ts").cast("int").alias("year"),
+        (F.month("ts").isin(1, 4, 7, 10) & (F.dayofmonth("ts") == 1))
+        .cast("int")
+        .alias("is_quarter_start"),
+        (k * k).alias("k_sq"),
+        F.floor(k / 10).cast("long").alias("k_bucket"),
+        F.max(k).over(wcum).alias("run_k_max"),
+        (k - F.lag(k).over(w)).alias("k_lag1_delta"),
+        F.col("event_type").eqNullSafe(F.lag("event_type").over(w)).cast("int").alias(
+            "is_repeat_type"
         ),
         F.round(F.lead(v).over(w) - v, 6).alias("label_lead1_value_delta"),
     )

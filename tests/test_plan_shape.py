@@ -68,9 +68,10 @@ def test_asof_single_exchange_no_python(spark, transcripts_sdf, anchors_sdf):
 
 
 def test_feature_vector_wide_single_exchange(spark):
-    """The 130-column wide vector must keep the one-exchange property:
-    every window variant (ordered, row-frame x2, range-frame x2,
-    unordered, nested cum-sum stages) shares partitionBy(user_id)."""
+    """The 176-column wide vector must keep the one-exchange property:
+    every window variant (ordered, row-frame x4, range-frame x4,
+    unordered, nested cum-sum stages, struct-max session windows, and
+    the per-entity poly-fit moment sums) shares partitionBy(user_id)."""
     from astrospectro_spark.queries import q_feature_vector_wide
 
     df = q_feature_vector_wide(spark, "/root/testdata/sf0.001")
@@ -78,7 +79,7 @@ def test_feature_vector_wide_single_exchange(spark):
     c = _op_counts(plan)
     assert c.get("Exchange", 0) == 1, c
     assert "PythonUDF" not in plan
-    assert len(df.columns) == 130
+    assert len(df.columns) == 176
 
 
 def test_minhash_band_exchange_carries_ids_only(spark, documents_sdf):

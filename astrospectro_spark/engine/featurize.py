@@ -27,7 +27,49 @@ from astrospectro_spark.engine.windows import FEATURE_SCHEMA, WIDE_FEATURE_COLS
 from astrospectro_spark.oracle.pandas_oracle import featurize_pdf
 
 _WIDE_TYPES = {
+    "accel_text_len": "double",
+    "active_time_run_s": "double",
     "clip_text_len_600": "double",
+    "cum_mean_text_len": "double",
+    "cum_tool_set": "long",
+    "days_since_start": "long",
+    "gap_capped_600": "double",
+    "gap_max_run": "double",
+    "gap_roll_max_10": "double",
+    "gap_roll_mean_10": "double",
+    "gauss_narrow_text_len": "double",
+    "high_gap_count_run": "long",
+    "hour_of_week": "int",
+    "is_month_start": "int",
+    "is_night": "int",
+    "is_zero_gap": "int",
+    "lag4_text_len_delta": "double",
+    "lag5_text_len_delta": "double",
+    "log2_text_len": "double",
+    "mean_gap_run": "double",
+    "pct_change_text_len": "double",
+    "pct_system_so_far": "double",
+    "pct_tool_set_so_far": "double",
+    "pct_user_so_far": "double",
+    "rate_3600s": "double",
+    "relu_text_len": "double",
+    "roll_max_text_len_20": "double",
+    "roll_mean_text_len_20": "double",
+    "roll_min_text_len_20": "double",
+    "roll_std_text_len_10": "double",
+    "roll_sum_text_len_20": "long",
+    "run_depth_text_len": "int",
+    "sess_frac_of_turns": "double",
+    "sigmoid_steep_text_len": "double",
+    "text_len_cube_scaled": "double",
+    "text_len_is_even": "int",
+    "text_len_range_norm": "double",
+    "text_sum_3600s": "long",
+    "time_since_start_s": "double",
+    "tool_len": "int",
+    "turn_rate_conv": "double",
+    "week_of_month": "long",
+    "zscore_roll_text_len_5": "double",
     "cum_text_len": "long",
     "day_of_month": "int",
     "day_of_week": "int",

@@ -49,8 +49,10 @@ from astrospectro_spark.engine.windows import (
     ROLL_ROWS,
     SESSION_GAP_S,
     WIDE_FEATURE_COLS,
+    WIDE_RATE_MAX_S,
     WIDE_RATE_S,
     WIDE_ROLL10,
+    WIDE_ROLL20,
     featurize_expr,
     wide_local_exprs,
 )
@@ -229,12 +231,13 @@ def _featurize_hot(
     include_text: bool = True,
     wide: bool = False,
 ) -> tuple[DataFrame, list[DataFrame]]:
-    # row-lookback margin: rolling frames need roll_rows-1, wide lag3
-    # needs 3, gap-rolling needs roll_rows (the oldest gap in a real
-    # row's frame needs ITS predecessor) and the 10-row rolls need
-    # WIDE_ROLL10-1; time margin must cover the LARGEST range window
-    k_rows = max(WIDE_ROLL10 - 1, roll_rows, 3) if wide else roll_rows - 1
-    margin_us = max(rate_window_s, WIDE_RATE_S if wide else 0) * 1_000_000
+    # row-lookback margin: rolling frames need roll_rows-1, wide lag5
+    # needs 5, gap-rolling needs WIDE_ROLL10+1 (the oldest gap in a
+    # real row's frame needs ITS predecessor) and the 20-row rolls need
+    # WIDE_ROLL20-1; time margin must cover the LARGEST range window
+    # (the wide tier's 3600s rate/sum)
+    k_rows = max(WIDE_ROLL20 - 1, WIDE_ROLL10 + 1, roll_rows, 5) if wide else roll_rows - 1
+    margin_us = max(rate_window_s, WIDE_RATE_MAX_S if wide else 0) * 1_000_000
 
     key_cols = KEY_COLS if include_text else [c for c in KEY_COLS if c != "text"]
     text_len = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("int")
@@ -385,8 +388,14 @@ def _featurize_hot(
             .orderBy(us_e)
             .rangeBetween(-WIDE_RATE_S * 1_000_000, 0)
         )
+        wr3600 = (
+            Window.partitionBy("conv_id", "_tgt")
+            .orderBy(us_e)
+            .rangeBetween(-WIDE_RATE_MAX_S * 1_000_000, 0)
+        )
         w5_m = F.avg(tll).over(w5)
         w5_m2 = F.avg(tll * tll).over(w5)
+        lagtl = F.lag(tl).over(w)
         u = (
             u.withColumn("day_of_week", F.dayofweek("ts").cast("int"))
             # context rows are a contiguous suffix of the true history,
@@ -454,11 +463,69 @@ def _featurize_hot(
             )
         )
         w10 = w.rowsBetween(-(WIDE_ROLL10 - 1), Window.currentRow)
+        w20 = w.rowsBetween(-(WIDE_ROLL20 - 1), Window.currentRow)
+        w10_m = F.avg(tll).over(w10)
+        w10_m2 = F.avg(tll * tll).over(w10)
         u = (
             u.withColumn("roll_mean_text_len_10", F.avg(tl).over(w10))
             .withColumn("roll_min_text_len_10", F.min(tl).over(w10).cast("double"))
             .withColumn("roll_max_text_len_10", F.max(tl).over(w10).cast("double"))
             .withColumn("roll_sum_text_len_10", F.sum(tl).over(w10).cast("long"))
+            # bounded growth frames — context rows supply the history,
+            # so the local chains reproduce the global ones exactly
+            .withColumn("lag4_text_len_delta", (tl - F.lag(tl, 4).over(w)).cast("double"))
+            .withColumn("lag5_text_len_delta", (tl - F.lag(tl, 5).over(w)).cast("double"))
+            .withColumn(
+                "accel_text_len",
+                (tll - 2 * F.lag(tll).over(w) + F.lag(tll, 2).over(w)).cast("double"),
+            )
+            .withColumn("pct_change_text_len", F.when(lagtl > 0, (tl - lagtl) / lagtl))
+            .withColumn("roll_mean_text_len_20", F.avg(tl).over(w20))
+            .withColumn("roll_min_text_len_20", F.min(tl).over(w20).cast("double"))
+            .withColumn("roll_max_text_len_20", F.max(tl).over(w20).cast("double"))
+            .withColumn("roll_sum_text_len_20", F.sum(tl).over(w20).cast("long"))
+            .withColumn(
+                "roll_std_text_len_10",
+                F.sqrt(F.greatest(F.lit(0.0), w10_m2 - w10_m * w10_m)),
+            )
+            .withColumn("gap_roll_max_10", F.max(F.col("lag1_ts_gap_s")).over(w10))
+            .withColumn(
+                "gap_roll_mean_10",
+                F.sum("_gap_us").over(w10) / F.count("_gap_us").over(w10) / F.lit(1e6),
+            )
+            .withColumn("rate_3600s", F.count(F.lit(1)).over(wr3600).cast("double"))
+            .withColumn("text_sum_3600s", F.sum(tl).over(wr3600).cast("long"))
+            .withColumn(
+                "zscore_roll_text_len_5",
+                F.when(
+                    w5_m2 - w5_m * w5_m > 0, (tll - w5_m) / F.sqrt(w5_m2 - w5_m * w5_m)
+                ).otherwise(F.lit(0.0)),
+            )
+            # local partials for the new stitched running features
+            # (masked to real rows; the first real row's gap reaches the
+            # true predecessor through the context margin)
+            .withColumn(
+                "_lc_gmax",
+                F.max(F.when(is_real, F.col("lag1_ts_gap_s"))).over(wcum),
+            )
+            .withColumn(
+                "_lc_gsum",
+                F.sum(F.when(is_real, F.col("_gap_us"))).over(wcum).cast("long"),
+            )
+            .withColumn(
+                "_lc_hg",
+                F.sum(
+                    F.when(is_real & (F.col("lag1_ts_gap_s") > 3600), 1).otherwise(0)
+                )
+                .over(wcum)
+                .cast("long"),
+            )
+            .withColumn(
+                "_lc_tset",
+                F.sum(F.when(is_real & F.col("tool").isNotNull(), 1).otherwise(0))
+                .over(wcum)
+                .cast("long"),
+            )
             # row-local composites: identical expressions as the plain
             # path (imported), so parity holds by construction
             .withColumns(wide_local_exprs())
@@ -496,6 +563,12 @@ def _featurize_hot(
             .alias("_t_last_tlen"),
             F.max(F.when(F.col("_sb") == 1, _us())).alias("_last_b_us"),
             F.min(_us()).alias("_min_us"),
+            F.max("lag1_ts_gap_s").alias("_c_gmax"),
+            F.sum("_gap_us").cast("long").alias("_c_gsum"),
+            F.sum(F.when(F.col("lag1_ts_gap_s") > 3600, 1).otherwise(0))
+            .cast("long")
+            .alias("_c_hg"),
+            F.sum(F.col("tool").isNotNull().cast("int")).cast("long").alias("_c_tset"),
         ]
         if wide
         else []
@@ -542,6 +615,16 @@ def _featurize_hot(
         )
         summ = summ.withColumn("_O_max", F.max("_c_max").over(wprev))
         summ = summ.withColumn("_O_min", F.min("_c_min").over(wprev))
+        summ = summ.withColumn("_O_gmax", F.max("_c_gmax").over(wprev))
+        summ = summ.withColumn(
+            "_O_gsum", F.coalesce(F.sum("_c_gsum").over(wprev), F.lit(0)).cast("long")
+        )
+        summ = summ.withColumn(
+            "_O_hg", F.coalesce(F.sum("_c_hg").over(wprev), F.lit(0)).cast("long")
+        )
+        summ = summ.withColumn(
+            "_O_tset", F.coalesce(F.sum("_c_tset").over(wprev), F.lit(0)).cast("long")
+        )
         summ = summ.withColumn(
             "_carry_bus", F.last("_last_b_us", ignorenulls=True).over(wprev)
         )
@@ -568,7 +651,7 @@ def _featurize_hot(
         )
         wide_summ_cols = [
             "_O_tlen", "_O_tlen2", "_O_max", "_O_min", "_carry_bus", "_first_us",
-            "_Tsum", "_CN_prev",
+            "_Tsum", "_CN_prev", "_O_gmax", "_O_gsum", "_O_hg", "_O_tset",
         ]
     summ = summ.withColumn(
         "_T",
@@ -657,6 +740,68 @@ def _featurize_hot(
             "turn_rate_session",
             F.col("turn_in_session").cast("double")
             / (F.col("session_elapsed_s") + F.lit(1.0)),
+        )
+        # ---- growth: stitched running features (offset + local) ----
+        out = out.withColumn("gap_max_run", F.greatest("_lc_gmax", "_O_gmax"))
+        active_us = (F.col("_O_gsum") + F.coalesce(F.col("_lc_gsum"), F.lit(0))).cast(
+            "long"
+        )
+        out = out.withColumn("active_time_run_s", active_us.cast("double") / F.lit(1e6))
+        out = out.withColumn(
+            "mean_gap_run",
+            F.when(
+                F.col("turn_idx_conv") > 1,
+                (active_us / (F.col("turn_idx_conv") - 1)) / F.lit(1e6),
+            ),
+        )
+        out = out.withColumn(
+            "high_gap_count_run", (F.col("_O_hg") + F.col("_lc_hg")).cast("long")
+        )
+        out = out.withColumn(
+            "cum_tool_set", (F.col("_O_tset") + F.col("_lc_tset")).cast("long")
+        )
+        out = out.withColumn(
+            "time_since_start_s", (_us() - F.col("_first_us")).cast("double") / F.lit(1e6)
+        )
+        out = out.withColumn(
+            "days_since_start",
+            F.floor((_us() - F.col("_first_us")) / F.lit(86_400_000_000)).cast("long"),
+        )
+        out = out.withColumn(
+            "cum_mean_text_len", F.col("cum_text_len") / F.col("turn_idx_conv")
+        )
+        out = out.withColumn(
+            "pct_user_so_far",
+            F.col("cum_count_user").cast("double") / F.col("turn_idx_conv"),
+        )
+        out = out.withColumn(
+            "pct_system_so_far",
+            F.col("cum_count_system").cast("double") / F.col("turn_idx_conv"),
+        )
+        out = out.withColumn(
+            "pct_tool_set_so_far",
+            F.col("cum_tool_set").cast("double") / F.col("turn_idx_conv"),
+        )
+        out = out.withColumn(
+            "run_depth_text_len",
+            (F.col("run_max_text_len") - F.col("run_min_text_len")).cast("int"),
+        )
+        out = out.withColumn(
+            "text_len_range_norm",
+            F.when(
+                F.col("run_max_text_len") - F.col("run_min_text_len") > 0,
+                (F.col("text_len") - F.col("run_min_text_len")).cast("double")
+                / (F.col("run_max_text_len") - F.col("run_min_text_len")),
+            ),
+        )
+        out = out.withColumn(
+            "sess_frac_of_turns",
+            F.col("turn_in_session").cast("double") / F.col("turn_idx_conv"),
+        )
+        out = out.withColumn(
+            "turn_rate_conv",
+            F.col("turn_idx_conv").cast("double")
+            / (F.col("time_since_start_s") + F.lit(1.0)),
         )
         feature_cols = FEATURE_COLS + WIDE_FEATURE_COLS
     return out.select(*key_cols, *feature_cols), handles

@@ -51,72 +51,116 @@ FEATURE_COLS = [
 ]
 LABEL_COLS = ["label_lead1_text_len", "label_lead1_ts_gap_s"]
 # Wide tier (featurize_expr(wide=True)): row-local composites, extra
-# bounded lags/rolls, a second range window, and two more stitched
-# cumulative/carry features. Alphabetical, appended after FEATURE_COLS.
+# bounded lags/rolls, range windows, and stitched cumulative/carry
+# features. Alphabetical, appended after FEATURE_COLS.
 WIDE_FEATURE_COLS = [
+    "accel_text_len",
+    "active_time_run_s",
     "clip_text_len_600",
+    "cum_mean_text_len",
     "cum_text_len",
+    "cum_tool_set",
     "day_of_month",
     "day_of_week",
+    "days_since_start",
     "exp_decay_text_len",
     "gap_bucket_min",
+    "gap_capped_600",
+    "gap_max_run",
+    "gap_roll_max_10",
     "gap_roll_max_5",
+    "gap_roll_mean_10",
     "gap_roll_mean_5",
+    "gauss_narrow_text_len",
     "gauss_text_len",
+    "high_gap_count_run",
     "hour_bucket",
     "hour_of_day",
+    "hour_of_week",
     "inv1p_text_len",
     "is_assistant",
     "is_business_hours",
     "is_empty_text",
     "is_long_text",
+    "is_month_start",
+    "is_night",
     "is_prev_assistant",
     "is_prev_user",
     "is_system",
     "is_tool",
     "is_user",
     "is_weekend",
+    "is_zero_gap",
     "lag2_text_len_delta",
     "lag3_text_len_delta",
+    "lag4_text_len_delta",
+    "lag5_text_len_delta",
     "log1p_gap",
     "log1p_text_len",
+    "log2_text_len",
+    "mean_gap_run",
     "minute_of_hour",
     "month",
     "pct_assistant_so_far",
+    "pct_change_text_len",
+    "pct_system_so_far",
+    "pct_tool_set_so_far",
     "pct_tool_so_far",
+    "pct_user_so_far",
     "prev_role",
     "quarter",
     "ramp_text_len",
     "rate_300s",
+    "rate_3600s",
+    "relu_text_len",
     "role_changed",
     "roll_max_text_len_10",
+    "roll_max_text_len_20",
     "roll_max_text_len_5",
     "roll_mean_text_len_10",
+    "roll_mean_text_len_20",
     "roll_min_text_len_10",
+    "roll_min_text_len_20",
     "roll_min_text_len_5",
+    "roll_std_text_len_10",
     "roll_std_text_len_5",
     "roll_sum_text_len_10",
+    "roll_sum_text_len_20",
     "roll_sum_text_len_5",
+    "run_depth_text_len",
     "run_max_text_len",
     "run_min_text_len",
     "sess_cum_text_len",
+    "sess_frac_of_turns",
     "sess_mean_text_len",
     "session_elapsed_s",
+    "sigmoid_steep_text_len",
     "sigmoid_text_len",
     "softsign_text_len",
     "sqrt_text_len",
     "text_len_bin",
+    "text_len_cube_scaled",
+    "text_len_is_even",
+    "text_len_range_norm",
     "text_len_sq",
     "text_len_zscore_run",
     "text_sum_300s",
+    "text_sum_3600s",
+    "time_since_start_s",
     "tool_changed",
     "tool_is_set",
+    "tool_len",
     "turn_frac_day",
     "turn_idx_conv",
+    "turn_rate_conv",
     "turn_rate_session",
+    "week_of_month",
+    "zscore_roll_text_len_5",
 ]
 WIDE_RATE_S = 300
+WIDE_RATE_MAX_S = 3600
 WIDE_ROLL10 = 10
+WIDE_ROLL20 = 20
 FEATURE_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, "
     "ts timestamp, "
@@ -138,10 +182,28 @@ def wide_local_exprs() -> dict[str, Column]:
     tl = F.col("text_len")
     tll = tl.cast("long")
     ssx = (tl - 300) / F.lit(150.0)
+    nsx = (tl - 300) / F.lit(50.0)
     return {
         "clip_text_len_600": F.least(F.greatest(tl, F.lit(50)), F.lit(600)).cast("double"),
         "day_of_month": F.dayofmonth("ts").cast("int"),
         "exp_decay_text_len": F.exp(-tl / F.lit(500.0)),
+        "gap_capped_600": F.when(
+            F.col("lag1_ts_gap_s").isNotNull(),
+            F.least(F.col("lag1_ts_gap_s"), F.lit(600.0)),
+        ),
+        "gauss_narrow_text_len": F.exp(F.lit(-0.5) * nsx * nsx),
+        "hour_of_week": ((F.dayofweek("ts") - 1) * 24 + F.hour("ts")).cast("int"),
+        "is_month_start": (F.dayofmonth("ts") == 1).cast("int"),
+        "is_night": (F.hour("ts") < 6).cast("int"),
+        "is_zero_gap": F.when(F.col("lag1_ts_gap_s") == 0, 1).otherwise(0).cast("int"),
+        "log2_text_len": F.when(tl > 0, F.log2(tl)),
+        "relu_text_len": F.greatest(F.lit(0.0), (tl - 300).cast("double")),
+        "sigmoid_steep_text_len": F.lit(1.0)
+        / (F.lit(1.0) + F.exp(-(tl - 200) / F.lit(20.0))),
+        "text_len_cube_scaled": (tll * tll * tll).cast("double") / F.lit(1_000_000.0),
+        "text_len_is_even": (tl % 2 == 0).cast("int"),
+        "tool_len": F.coalesce(F.length("tool"), F.lit(0)).cast("int"),
+        "week_of_month": (F.floor((F.dayofmonth("ts") - 1) / 7) + 1).cast("long"),
         # least/greatest SKIP nulls in Spark (unlike numpy's NaN
         # propagation), so the first-row null gap must be guarded
         "gap_bucket_min": F.floor(
@@ -199,9 +261,13 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s) -> DataFrame:
     number) staged by :func:`featurize_expr`."""
     w5 = w.rowsBetween(-(roll_rows - 1), Window.currentRow)
     w10 = w.rowsBetween(-(WIDE_ROLL10 - 1), Window.currentRow)
+    w20 = w.rowsBetween(-(WIDE_ROLL20 - 1), Window.currentRow)
     wp = Window.partitionBy("conv_id")
     wr = Window.partitionBy("conv_id").orderBy(us).rangeBetween(
         -WIDE_RATE_S * 1_000_000, 0
+    )
+    wr36 = Window.partitionBy("conv_id").orderBy(us).rangeBetween(
+        -WIDE_RATE_MAX_S * 1_000_000, 0
     )
     tl = F.col("text_len")
     tll = tl.cast("long")
@@ -210,6 +276,10 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s) -> DataFrame:
     gap_us = us - F.lag(us).over(w)
     w5_m = F.avg(tll).over(w5)
     w5_m2 = F.avg(tll * tll).over(w5)
+    w10_m = F.avg(tll).over(w10)
+    w10_m2 = F.avg(tll * tll).over(w10)
+    lagtl = F.lag(tl).over(w)
+    first_us = F.min(us).over(wp)
     rn = F.col("_rn")
     df = (
         df.withColumn("_gap_us", gap_us)
@@ -299,7 +369,100 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s) -> DataFrame:
         .withColumn("roll_min_text_len_10", F.min(tl).over(w10).cast("double"))
         .withColumn("roll_max_text_len_10", F.max(tl).over(w10).cast("double"))
         .withColumn("roll_sum_text_len_10", F.sum(tl).over(w10).cast("long"))
+        # ---- growth: bounded frames (lag4/5, 20-row rolls, 10-row gap
+        # rolls, 3600s range, accel / pct-change / rolling zscore) ----
+        .withColumn("lag4_text_len_delta", (tl - F.lag(tl, 4).over(w)).cast("double"))
+        .withColumn("lag5_text_len_delta", (tl - F.lag(tl, 5).over(w)).cast("double"))
+        .withColumn(
+            "accel_text_len",
+            (tll - 2 * F.lag(tll).over(w) + F.lag(tll, 2).over(w)).cast("double"),
+        )
+        .withColumn("pct_change_text_len", F.when(lagtl > 0, (tl - lagtl) / lagtl))
+        .withColumn("roll_mean_text_len_20", F.avg(tl).over(w20))
+        .withColumn("roll_min_text_len_20", F.min(tl).over(w20).cast("double"))
+        .withColumn("roll_max_text_len_20", F.max(tl).over(w20).cast("double"))
+        .withColumn("roll_sum_text_len_20", F.sum(tl).over(w20).cast("long"))
+        .withColumn(
+            "roll_std_text_len_10",
+            F.sqrt(F.greatest(F.lit(0.0), w10_m2 - w10_m * w10_m)),
+        )
+        .withColumn("gap_roll_max_10", F.max(F.col("lag1_ts_gap_s")).over(w10))
+        .withColumn(
+            "gap_roll_mean_10",
+            F.sum("_gap_us").over(w10) / F.count("_gap_us").over(w10) / F.lit(1e6),
+        )
+        .withColumn("rate_3600s", F.count(F.lit(1)).over(wr36).cast("double"))
+        .withColumn("text_sum_3600s", F.sum(tl).over(wr36).cast("long"))
+        .withColumn(
+            "zscore_roll_text_len_5",
+            F.when(
+                w5_m2 - w5_m * w5_m > 0, (tll - w5_m) / F.sqrt(w5_m2 - w5_m * w5_m)
+            ).otherwise(F.lit(0.0)),
+        )
+        # ---- growth: running/unbounded stitched features ----
+        .withColumn("gap_max_run", F.max(F.col("lag1_ts_gap_s")).over(wcum))
+        .withColumn(
+            "_active_us", F.coalesce(F.sum("_gap_us").over(wcum), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "high_gap_count_run",
+            F.sum(F.when(F.col("lag1_ts_gap_s") > 3600, 1).otherwise(0))
+            .over(wcum)
+            .cast("long"),
+        )
+        .withColumn(
+            "cum_tool_set",
+            F.sum(F.col("tool").isNotNull().cast("int")).over(wcum).cast("long"),
+        )
+        .withColumn("time_since_start_s", (us - first_us).cast("double") / F.lit(1e6))
+        .withColumn(
+            "days_since_start",
+            F.floor((us - first_us) / F.lit(86_400_000_000)).cast("long"),
+        )
         .withColumns(wide_local_exprs())
+        .withColumn("active_time_run_s", F.col("_active_us").cast("double") / F.lit(1e6))
+        .withColumn(
+            "mean_gap_run",
+            F.when(
+                F.col("turn_idx_conv") > 1,
+                (F.col("_active_us") / (F.col("turn_idx_conv") - 1)) / F.lit(1e6),
+            ),
+        )
+        .withColumn(
+            "cum_mean_text_len", F.col("cum_text_len") / F.col("turn_idx_conv")
+        )
+        .withColumn(
+            "pct_user_so_far", F.col("cum_count_user").cast("double") / F.col("turn_idx_conv")
+        )
+        .withColumn(
+            "pct_system_so_far",
+            F.col("cum_count_system").cast("double") / F.col("turn_idx_conv"),
+        )
+        .withColumn(
+            "pct_tool_set_so_far",
+            F.col("cum_tool_set").cast("double") / F.col("turn_idx_conv"),
+        )
+        .withColumn(
+            "run_depth_text_len",
+            (F.col("run_max_text_len") - F.col("run_min_text_len")).cast("int"),
+        )
+        .withColumn(
+            "text_len_range_norm",
+            F.when(
+                F.col("run_max_text_len") - F.col("run_min_text_len") > 0,
+                (tl - F.col("run_min_text_len")).cast("double")
+                / (F.col("run_max_text_len") - F.col("run_min_text_len")),
+            ),
+        )
+        .withColumn(
+            "sess_frac_of_turns",
+            F.col("turn_in_session").cast("double") / F.col("turn_idx_conv"),
+        )
+        .withColumn(
+            "turn_rate_conv",
+            F.col("turn_idx_conv").cast("double")
+            / (F.col("time_since_start_s") + F.lit(1.0)),
+        )
     )
 
 

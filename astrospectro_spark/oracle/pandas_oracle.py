@@ -188,6 +188,86 @@ def featurize_pdf(
         out["turn_rate_session"] = turn_in_session.astype(np.float64) / (
             out["session_elapsed_s"].to_numpy() + 1.0
         )
+        # ---- growth: bounded frames ----
+        for kk in (4, 5):
+            d = text_len.astype(np.float64) - np.roll(text_len, kk).astype(np.float64)
+            d[:kk] = np.nan
+            out[f"lag{kk}_text_len_delta"] = d
+        acc = (
+            text_len.astype(np.float64)
+            - 2 * np.roll(text_len, 1).astype(np.float64)
+            + np.roll(text_len, 2).astype(np.float64)
+        )
+        acc[:2] = np.nan
+        out["accel_text_len"] = acc
+        lag1f = np.roll(text_len, 1).astype(np.float64)
+        lag1f[0] = np.nan
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out["pct_change_text_len"] = np.where(
+                lag1f > 0, (text_len - lag1f) / lag1f, np.nan
+            )
+        out["roll_mean_text_len_20"] = s.rolling(20, min_periods=1).mean().to_numpy()
+        out["roll_min_text_len_20"] = s.rolling(20, min_periods=1).min().to_numpy()
+        out["roll_max_text_len_20"] = s.rolling(20, min_periods=1).max().to_numpy()
+        out["roll_sum_text_len_20"] = (
+            s.rolling(20, min_periods=1).sum().to_numpy().astype("int64")
+        )
+        w10m = s.rolling(10, min_periods=1).mean().to_numpy()
+        w10m2 = (s * s).rolling(10, min_periods=1).mean().to_numpy()
+        out["roll_std_text_len_10"] = np.sqrt(np.maximum(0.0, w10m2 - w10m * w10m))
+        out["gap_roll_max_10"] = (
+            pd.Series(gap_s_arr).rolling(10, min_periods=1).max().to_numpy()
+        )
+        out["gap_roll_mean_10"] = (
+            gs.rolling(10, min_periods=1).sum().to_numpy()
+            / gs.rolling(10, min_periods=1).count().to_numpy()
+            / 1e6
+        )
+        lo36 = np.searchsorted(ts_us, ts_us - 3600 * 1_000_000, side="left")
+        out["rate_3600s"] = (hi300 - lo36).astype(np.float64)
+        out["text_sum_3600s"] = (ps[hi300] - ps[lo36]).astype("int64")
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out["zscore_roll_text_len_5"] = np.where(
+                w5m2 - w5m * w5m > 0,
+                (text_len - w5m) / np.sqrt(np.where(w5m2 - w5m * w5m > 0, w5m2 - w5m * w5m, 1.0)),
+                0.0,
+            )
+        # ---- growth: running/unbounded ----
+        out["gap_max_run"] = pd.Series(gap_s_arr).cummax().to_numpy()
+        active_us = np.cumsum(np.where(np.isnan(gap_f), 0, gap_us)).astype("int64")
+        out["active_time_run_s"] = active_us.astype(np.float64) / 1e6
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out["mean_gap_run"] = np.where(
+                n_run > 1, (active_us / np.maximum(n_run - 1, 1)) / 1e6, np.nan
+            )
+        out["high_gap_count_run"] = np.cumsum(
+            np.nan_to_num(gap_s_arr, nan=0.0) > 3600
+        ).astype("int64")
+        tool_set = g["tool"].notna().to_numpy()
+        out["cum_tool_set"] = np.cumsum(tool_set).astype("int64")
+        out["time_since_start_s"] = (ts_us - ts_us[0]).astype(np.float64) / 1e6
+        out["days_since_start"] = np.floor(
+            (ts_us - ts_us[0]) / 86_400_000_000
+        ).astype("int64")
+        out["cum_mean_text_len"] = ctl / n_run
+        out["pct_user_so_far"] = out["cum_count_user"].to_numpy().astype(np.float64) / n_run
+        out["pct_system_so_far"] = (
+            out["cum_count_system"].to_numpy().astype(np.float64) / n_run
+        )
+        out["pct_tool_set_so_far"] = (
+            out["cum_tool_set"].to_numpy().astype(np.float64) / n_run
+        )
+        rmax = np.maximum.accumulate(text_len)
+        rmin = np.minimum.accumulate(text_len)
+        out["run_depth_text_len"] = (rmax - rmin).astype("int32")
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out["text_len_range_norm"] = np.where(
+                rmax - rmin > 0, (text_len - rmin).astype(np.float64) / (rmax - rmin), np.nan
+            )
+        out["sess_frac_of_turns"] = turn_in_session.astype(np.float64) / n_run
+        out["turn_rate_conv"] = n_run.astype(np.float64) / (
+            out["time_since_start_s"].to_numpy() + 1.0
+        )
         # 10-row rolls
         out["roll_mean_text_len_10"] = s.rolling(10, min_periods=1).mean().to_numpy()
         out["roll_min_text_len_10"] = s.rolling(10, min_periods=1).min().to_numpy()
@@ -226,6 +306,28 @@ def featurize_pdf(
         out["text_len_bin"] = (np.floor(tlf / 100) * 100).astype("int64")
         out["text_len_sq"] = (text_len * text_len).astype(np.float64)
         out["tool_is_set"] = g["tool"].notna().to_numpy().astype("int32")
+        # growth row-locals (windows.wide_local_exprs mirror)
+        out["gap_capped_600"] = np.minimum(gap_s_arr, 600.0)
+        nx = (tlf - 300) / 50.0
+        out["gauss_narrow_text_len"] = np.exp(-0.5 * nx * nx)
+        out["hour_of_week"] = (((dow + 1) % 7 + 1 - 1) * 24 + hour).astype("int32")
+        out["is_month_start"] = (g["ts"].dt.day.to_numpy() == 1).astype("int32")
+        out["is_night"] = (hour < 6).astype("int32")
+        out["is_zero_gap"] = np.where(gap_s_arr == 0, 1, 0).astype("int32")
+        with np.errstate(divide="ignore"):
+            out["log2_text_len"] = np.where(text_len > 0, np.log2(np.maximum(tlf, 1.0)), np.nan)
+        out["relu_text_len"] = np.maximum(0.0, tlf - 300)
+        out["sigmoid_steep_text_len"] = 1.0 / (1.0 + np.exp(-(tlf - 200) / 20.0))
+        out["text_len_cube_scaled"] = (text_len * text_len * text_len).astype(
+            np.float64
+        ) / 1_000_000.0
+        out["text_len_is_even"] = (text_len % 2 == 0).astype("int32")
+        out["tool_len"] = (
+            g["tool"].str.len().fillna(0).to_numpy().astype("int32")
+        )
+        out["week_of_month"] = (
+            np.floor((g["ts"].dt.day.to_numpy() - 1) / 7) + 1
+        ).astype("int64")
 
     if include_labels:
         lead_len = np.roll(text_len, -1).astype(np.float64)

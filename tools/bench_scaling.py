@@ -79,8 +79,15 @@ print("RESULT " + json.dumps({{"cpus": cpus, "n_turns": n, "secs": res}}))
 
 def run_level(cpus: int, syn: str) -> dict:
     script = JOB.format(repo=REPO)
+    cmd = [sys.executable, "-c", script, str(cpus), syn]
+    if os.environ.get("SCALE_PIN") == "1":
+        # pin the whole JVM+python tree to exactly `cpus` physical CPUs:
+        # isolates the scheduler-migration term and makes the core set
+        # deterministic, so a low efficiency can't be blamed on the
+        # scheduler spreading N threads across >N cores
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), syn],
+        cmd,
         capture_output=True,
         text=True,
         timeout=3600,

@@ -46,6 +46,42 @@ def test_sigma_clip_slope_rejects_outliers(spark):
     assert abs(naive["slope"].iloc[0] - 2.0) > abs(out["slope"].iloc[0] - 2.0)
 
 
+def test_sigma_clip_slope_grouped_matches_expression_path(spark):
+    """The single-shuffle grouped kernel (hot-path shape: ONE Arrow
+    exchange, clip loop in NumPy) must agree with the unrolled
+    expression plan (~6 shuffles at n_iter=3) on every entity."""
+    from astrospectro_spark.engine.regression import (
+        sigma_clip_slope,
+        sigma_clip_slope_grouped,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for gi in range(12):
+        n = int(rng.integers(30, 120))
+        x = np.sort(rng.uniform(0, 1000, n))
+        y = rng.uniform(-3, 3) * x + rng.uniform(-50, 50) + rng.normal(0, 2, n)
+        y[:: max(11, n // 7)] += rng.choice([-1, 1]) * 300  # outliers
+        for xi, yi in zip(x, y):
+            rows.append({"g": f"g{gi}", "x": float(xi), "y": float(yi)})
+    sdf = spark.createDataFrame(pd.DataFrame(rows)).repartition(5)
+    a = (
+        sigma_clip_slope(sdf, "x", "y", group_col="g", sigma=2.5, n_iter=3)
+        .toPandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    b = (
+        sigma_clip_slope_grouped(sdf, "x", "y", group_col="g", sigma=2.5, n_iter=3)
+        .toPandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert list(a["g"]) == list(b["g"])
+    np.testing.assert_allclose(a["slope"], b["slope"], rtol=1e-7)
+    np.testing.assert_allclose(a["intercept"], b["intercept"], rtol=1e-6, atol=1e-6)
+
+
 def test_prune_columns(spark):
     from astrospectro_spark.engine.prune import prune_columns
 

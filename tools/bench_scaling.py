@@ -43,11 +43,18 @@ from astrospectro_spark.engine.asof import asof_join_salted
 cpus = int(sys.argv[1]); syn = sys.argv[2]
 # identical confs at both levels except thread count: same shuffle
 # partitioning (task granularity), same heap — only parallelism varies.
+conf = {{"spark.driver.memory": "48g",
+         "spark.sql.files.maxPartitionBytes": "32m",
+         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m"}}
+if os.environ.get("SCALE_PIN") == "1":
+    # pinned-container analogy: the JVM must SEE only the pinned cores,
+    # or it sizes GC/aux thread pools for the whole 32-core host and
+    # oversubscribes the cpuset (measured: local[8] 2.3x slower pinned
+    # without this)
+    conf["spark.driver.extraJavaOptions"] = f"-XX:ActiveProcessorCount={{cpus}}"
 spark = get_spark(app_name=f"scale{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions=128,
-                  extra_conf={{"spark.driver.memory": "48g",
-                               "spark.sql.files.maxPartitionBytes": "32m",
-                               "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m"}})
+                  extra_conf=conf)
 turns = spark.read.parquet(os.path.join(syn, "transcripts.parquet"))
 anchors = spark.read.parquet(os.path.join(syn, "anchors.parquet"))
 n = turns.count()
@@ -84,8 +91,11 @@ def run_level(cpus: int, syn: str) -> dict:
         # pin the whole JVM+python tree to exactly `cpus` physical CPUs:
         # isolates the scheduler-migration term and makes the core set
         # deterministic, so a low efficiency can't be blamed on the
-        # scheduler spreading N threads across >N cores
-        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        # scheduler spreading N threads across >N cores.
+        # SCALE_PIN_BASE shifts the core set (e.g. 24 → cores 24-31) to
+        # probe whether host steal concentrates on specific core IDs.
+        base = int(os.environ.get("SCALE_PIN_BASE", "0"))
+        cmd = ["taskset", "-c", f"{base}-{base + cpus - 1}"] + cmd
     out = subprocess.run(
         cmd,
         capture_output=True,

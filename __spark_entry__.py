@@ -17,7 +17,7 @@ from astrospectro_spark.oracle.duckdb_sql import ORACLE_SQL
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: the 176-column per-turn wide feature vector
+    """Flagship query: the 183-column per-turn wide feature vector
     (sessionize + lag/lead + backfill + rolling/range windows +
     cumulative counters + composite expressions, ONE exchange) over the
     events table read as a transcript stream, joined as-of against

@@ -129,6 +129,68 @@ _WIDE_TYPES = {
     "turn_frac_day": "double",
     "turn_idx_conv": "int",
     "turn_rate_session": "double",
+    # growth tier 4
+    "alpha_proxy_idx": "double",
+    "cbrt_text_len": "double",
+    "cos_dow": "double",
+    "cos_hour": "double",
+    "ew_balance_text": "double",
+    "feh_proxy_idx": "double",
+    "gap_is_long": "double",
+    "gap_over_text": "double",
+    "geo_mean_text_tool": "double",
+    "harmonic_text_tool": "double",
+    "is_dawn": "int",
+    "is_evening": "int",
+    "is_first_turn": "int",
+    "is_short_text": "int",
+    "is_very_long_text": "int",
+    "log10_text_len": "double",
+    "logg_proxy_idx": "double",
+    "minute_of_day": "int",
+    "role_code": "int",
+    "second_of_minute": "int",
+    "sin_dow": "double",
+    "sin_hour": "double",
+    "signed_log1p_delta": "double",
+    "tanh_text_len": "double",
+    "teff_proxy_idx": "double",
+    "text_kb_bucket": "long",
+    "text_minus_tool": "int",
+    "text_tool_ratio": "double",
+    "gap_roll_min_5": "double",
+    "gap_roll_min_10": "double",
+    "gap_roll_range_5": "double",
+    "lag2_ts_gap_s": "double",
+    "lag3_ts_gap_s": "double",
+    "lag6_text_len_delta": "double",
+    "lag7_text_len_delta": "double",
+    "rate_900s": "double",
+    "roll_assistant_rate_10": "double",
+    "roll_range_text_len_10": "double",
+    "roll_range_text_len_20": "double",
+    "roll_role_changes_10": "long",
+    "roll_std_text_len_20": "double",
+    "roll_tool_rate_10": "double",
+    "text_sum_60s": "long",
+    "text_sum_900s": "long",
+    "wing_asym_5": "double",
+    "wing_auc_4": "double",
+    "zscore_roll_text_len_10": "double",
+    "conv_first_text_len": "int",
+    "cum_empty_text": "long",
+    "cum_long_text": "long",
+    "cum_role_changes": "long",
+    "is_session_start": "int",
+    "run_std_text_len": "double",
+    "sess_auc_trapezoid": "double",
+    "sess_depth_text_len": "int",
+    "sess_gap_max_s": "double",
+    "sess_max_text_len": "int",
+    "sess_min_text_len": "int",
+    "sess_start_hour": "int",
+    "sess_std_text_len": "double",
+    "text_len_vs_first": "int",
 }
 WIDE_SCHEMA = FEATURE_SCHEMA + ", " + ", ".join(
     f"{c} {_WIDE_TYPES[c]}" for c in WIDE_FEATURE_COLS

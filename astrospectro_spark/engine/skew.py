@@ -542,6 +542,141 @@ def _featurize_hot(
                 F.lit(0),
             ),
         )
+        # ---- growth tier 4a: bounded frames (identical expressions to
+        # windows._wide_exprs; context rows supply the history) ----
+        w4a = w.rowsBetween(-1, 0)
+        w4b = w.rowsBetween(-4, -3)
+        wtrap = w.rowsBetween(-3, 0)
+        wr900 = (
+            Window.partitionBy("conv_id", "_tgt")
+            .orderBy(us_e)
+            .rangeBetween(-900 * 1_000_000, 0)
+        )
+        wr60 = (
+            Window.partitionBy("conv_id", "_tgt")
+            .orderBy(us_e)
+            .rangeBetween(-RATE_WINDOW_S * 1_000_000, 0)
+        )
+        w20_m = F.avg(tll).over(w20)
+        w20_m2 = F.avg(tll * tll).over(w20)
+        gl = F.least(F.col("_gap_us"), F.lit(3_600_000_000))
+        gms_cap = ((gl - gl % 1000) / 1000).cast("long")
+        gms_sess = ((F.col("_gap_us") - F.col("_gap_us") % 1000) / 1000).cast("long")
+        u = (
+            u.withColumn(
+                "_trap_w",
+                F.when(
+                    F.col("_gap_us").isNotNull(), (tll + F.lag(tll).over(w)) * gms_cap
+                ),
+            )
+            .withColumn(
+                "_trap_s",
+                F.when(
+                    (F.col("_sb") == 0) & F.col("_gap_us").isNotNull(),
+                    (tll + F.lag(tll).over(w)) * gms_sess,
+                ),
+            )
+            .withColumn("gap_roll_min_5", F.min(F.col("lag1_ts_gap_s")).over(w5))
+            .withColumn("gap_roll_min_10", F.min(F.col("lag1_ts_gap_s")).over(w10))
+            .withColumn(
+                "gap_roll_range_5", F.col("gap_roll_max_5") - F.col("gap_roll_min_5")
+            )
+            .withColumn(
+                "lag2_ts_gap_s",
+                (us_e - F.lag(us_e, 2).over(w)).cast("double") / F.lit(1e6),
+            )
+            .withColumn(
+                "lag3_ts_gap_s",
+                (us_e - F.lag(us_e, 3).over(w)).cast("double") / F.lit(1e6),
+            )
+            .withColumn(
+                "lag6_text_len_delta", (tl - F.lag(tl, 6).over(w)).cast("double")
+            )
+            .withColumn(
+                "lag7_text_len_delta", (tl - F.lag(tl, 7).over(w)).cast("double")
+            )
+            .withColumn("rate_900s", F.count(F.lit(1)).over(wr900).cast("double"))
+            .withColumn("text_sum_900s", F.sum(tl).over(wr900).cast("long"))
+            .withColumn("text_sum_60s", F.sum(tl).over(wr60).cast("long"))
+            .withColumn(
+                "roll_assistant_rate_10",
+                F.sum((F.col("role") == "assistant").cast("int")).over(w10)
+                / F.count(F.lit(1)).over(w10),
+            )
+            .withColumn(
+                "roll_tool_rate_10",
+                F.sum(F.col("tool").isNotNull().cast("int")).over(w10)
+                / F.count(F.lit(1)).over(w10),
+            )
+            .withColumn(
+                "roll_role_changes_10", F.sum("role_changed").over(w10).cast("long")
+            )
+            .withColumn(
+                "roll_range_text_len_10",
+                F.col("roll_max_text_len_10") - F.col("roll_min_text_len_10"),
+            )
+            .withColumn(
+                "roll_range_text_len_20",
+                F.col("roll_max_text_len_20") - F.col("roll_min_text_len_20"),
+            )
+            .withColumn(
+                "roll_std_text_len_20",
+                F.sqrt(F.greatest(F.lit(0.0), w20_m2 - w20_m * w20_m)),
+            )
+            .withColumn(
+                "zscore_roll_text_len_10",
+                F.when(
+                    w10_m2 - w10_m * w10_m > 0,
+                    (tll - w10_m) / F.sqrt(w10_m2 - w10_m * w10_m),
+                ).otherwise(F.lit(0.0)),
+            )
+            .withColumn("wing_auc_4", F.sum("_trap_w").over(wtrap) / F.lit(2000.0))
+            .withColumn(
+                "wing_asym_5",
+                (F.sum(tll).over(w4a) - F.sum(tll).over(w4b)).cast("double"),
+            )
+        )
+        # ---- growth tier 4b locals: session-scoped partials over
+        # (conv, chunk, local-session) — same exchange, one more sort
+        # key. Rows before the chunk's first boundary (_local_sid == 0)
+        # get the open-session carry joined in from the summary. ----
+        wsl = Window.partitionBy("conv_id", "_tgt", "_local_sid").orderBy(
+            "ts", "turn_idx"
+        )
+        wslc = wsl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u = (
+            u.withColumn("_ls_max", F.max(F.when(is_real, tl)).over(wslc).cast("int"))
+            .withColumn("_ls_min", F.min(F.when(is_real, tl)).over(wslc).cast("int"))
+            .withColumn(
+                "_ls_gmax",
+                F.max(
+                    F.when(is_real & (F.col("_sb") == 0), F.col("lag1_ts_gap_s"))
+                ).over(wslc),
+            )
+            .withColumn(
+                "_ls_tlen2",
+                F.sum(F.when(is_real, tll * tll).otherwise(0)).over(wslc).cast("long"),
+            )
+            .withColumn("_ls_trap", F.sum(F.when(is_real, F.col("_trap_s"))).over(wslc))
+            .withColumn(
+                "_lc_rc",
+                F.sum(F.when(is_real, F.col("role_changed")).otherwise(0))
+                .over(wcum)
+                .cast("long"),
+            )
+            .withColumn(
+                "_lc_empty",
+                F.sum(F.when(is_real & (tl == 0), 1).otherwise(0))
+                .over(wcum)
+                .cast("long"),
+            )
+            .withColumn(
+                "_lc_long",
+                F.sum(F.when(is_real & (tl > 500), 1).otherwise(0))
+                .over(wcum)
+                .cast("long"),
+            )
+        )
     local = u.filter(is_real).drop("_ctx")
 
     # ---- 5. stitch: per-chunk summary → exclusive prefix offsets
@@ -569,6 +704,42 @@ def _featurize_hot(
             .cast("long")
             .alias("_c_hg"),
             F.sum(F.col("tool").isNotNull().cast("int")).cast("long").alias("_c_tset"),
+            # growth tier 4: whole-chunk + trailing-open-session partials
+            F.sum("role_changed").cast("long").alias("_c_rc"),
+            F.sum((F.col("text_len") == 0).cast("int")).cast("long").alias("_c_empty"),
+            F.sum((F.col("text_len") > 500).cast("int")).cast("long").alias("_c_long"),
+            F.min_by(
+                F.col("text_len"), F.struct(F.col("ts"), F.col("turn_idx"))
+            ).alias("_c_firsttl"),
+            F.max(F.when(F.col("_sb") == 0, F.col("lag1_ts_gap_s"))).alias("_c_sgmax"),
+            F.sum("_trap_s").alias("_c_strap"),
+            F.max(
+                F.when(F.col("_local_sid") == F.col("_sid_max"), F.col("text_len"))
+            )
+            .cast("int")
+            .alias("_t_max"),
+            F.min(
+                F.when(F.col("_local_sid") == F.col("_sid_max"), F.col("text_len"))
+            )
+            .cast("int")
+            .alias("_t_min"),
+            F.max(
+                F.when(
+                    (F.col("_local_sid") == F.col("_sid_max")) & (F.col("_sb") == 0),
+                    F.col("lag1_ts_gap_s"),
+                )
+            ).alias("_t_gmax"),
+            F.sum(
+                F.when(
+                    F.col("_local_sid") == F.col("_sid_max"),
+                    F.col("text_len").cast("long") * F.col("text_len"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("_t_tlen2"),
+            F.sum(
+                F.when(F.col("_local_sid") == F.col("_sid_max"), F.col("_trap_s"))
+            ).alias("_t_trap"),
         ]
         if wide
         else []
@@ -649,9 +820,81 @@ def _featurize_hot(
                 + last_bw.getField("_t_last_tlen")
             ),
         )
+        # growth tier 4: open-session carry via a segmented group scan.
+        # _g = running count of boundary-containing chunks (inclusive):
+        # a boundary chunk and the boundary-free chunks after it share a
+        # group, so "aggregate over my group's prefix INCLUDING me" is
+        # exactly the open-session aggregate at each chunk's END
+        # (trailing segment for the boundary chunk, whole chunks after);
+        # the value carried INTO a chunk is then simply lag() of that
+        # carry-out — correct for boundary and non-boundary chunks alike.
+        summ = summ.withColumn(
+            "_g",
+            F.sum((F.col("_sb_total") > 0).cast("int")).over(
+                wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        wgc = (
+            Window.partitionBy("conv_id", "_g")
+            .orderBy("_tgt")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        has_b = F.col("_sb_total") > 0
+        summ = (
+            summ.withColumn(
+                "_co_max",
+                F.max(F.when(has_b, F.col("_t_max")).otherwise(F.col("_c_max"))).over(
+                    wgc
+                ),
+            )
+            .withColumn(
+                "_co_min",
+                F.min(F.when(has_b, F.col("_t_min")).otherwise(F.col("_c_min"))).over(
+                    wgc
+                ),
+            )
+            .withColumn(
+                "_co_gmax",
+                F.max(
+                    F.when(has_b, F.col("_t_gmax")).otherwise(F.col("_c_sgmax"))
+                ).over(wgc),
+            )
+            .withColumn(
+                "_co_tlen2",
+                F.sum(
+                    F.when(has_b, F.col("_t_tlen2")).otherwise(F.col("_c_tlen2"))
+                ).over(wgc),
+            )
+            .withColumn(
+                "_co_trap",
+                F.sum(
+                    F.when(has_b, F.col("_t_trap")).otherwise(F.col("_c_strap"))
+                ).over(wgc),
+            )
+        )
+        summ = (
+            summ.withColumn("_P_smax", F.lag("_co_max").over(wc))
+            .withColumn("_P_smin", F.lag("_co_min").over(wc))
+            .withColumn("_P_sgmax", F.lag("_co_gmax").over(wc))
+            .withColumn("_P_tlen2", F.lag("_co_tlen2").over(wc))
+            .withColumn("_P_trap", F.lag("_co_trap").over(wc))
+            .withColumn(
+                "_O_firsttl",
+                F.first("_c_firsttl").over(
+                    wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .withColumn("_O_rc", F.coalesce(F.sum("_c_rc").over(wprev), F.lit(0)))
+            .withColumn(
+                "_O_empty", F.coalesce(F.sum("_c_empty").over(wprev), F.lit(0))
+            )
+            .withColumn("_O_long", F.coalesce(F.sum("_c_long").over(wprev), F.lit(0)))
+        )
         wide_summ_cols = [
             "_O_tlen", "_O_tlen2", "_O_max", "_O_min", "_carry_bus", "_first_us",
             "_Tsum", "_CN_prev", "_O_gmax", "_O_gsum", "_O_hg", "_O_tset",
+            "_P_smax", "_P_smin", "_P_sgmax", "_P_tlen2", "_P_trap",
+            "_O_firsttl", "_O_rc", "_O_empty", "_O_long",
         ]
     summ = summ.withColumn(
         "_T",
@@ -802,6 +1045,76 @@ def _featurize_hot(
             "turn_rate_conv",
             F.col("turn_idx_conv").cast("double")
             / (F.col("time_since_start_s") + F.lit(1.0)),
+        )
+        # ---- growth tier 4: stitched running + session-scoped combines
+        tl_c = F.col("text_len")
+        out = (
+            out.withColumn("conv_first_text_len", F.col("_O_firsttl").cast("int"))
+            .withColumn(
+                "text_len_vs_first", (tl_c - F.col("conv_first_text_len")).cast("int")
+            )
+            .withColumn(
+                "cum_role_changes", (F.col("_O_rc") + F.col("_lc_rc")).cast("long")
+            )
+            .withColumn(
+                "cum_empty_text", (F.col("_O_empty") + F.col("_lc_empty")).cast("long")
+            )
+            .withColumn(
+                "cum_long_text", (F.col("_O_long") + F.col("_lc_long")).cast("long")
+            )
+            .withColumn("is_session_start", (F.col("turn_in_session") == 1).cast("int"))
+            .withColumn("run_std_text_len", F.sqrt(F.greatest(F.lit(0.0), var_run)))
+        )
+        sid0 = F.col("_local_sid") == 0
+        smax_g = F.when(sid0, F.greatest("_ls_max", "_P_smax")).otherwise(
+            F.col("_ls_max")
+        ).cast("int")
+        smin_g = F.when(sid0, F.least("_ls_min", "_P_smin")).otherwise(
+            F.col("_ls_min")
+        ).cast("int")
+        sess2 = F.when(
+            sid0, F.col("_ls_tlen2") + F.coalesce(F.col("_P_tlen2"), F.lit(0))
+        ).otherwise(F.col("_ls_tlen2")).cast("long")
+        trap_g = F.when(
+            sid0,
+            F.when(
+                F.col("_ls_trap").isNull() & F.col("_P_trap").isNull(),
+                F.lit(None).cast("long"),
+            ).otherwise(
+                F.coalesce(F.col("_ls_trap"), F.lit(0))
+                + F.coalesce(F.col("_P_trap"), F.lit(0))
+            ),
+        ).otherwise(F.col("_ls_trap"))
+        tis_c = F.col("turn_in_session")
+        out = (
+            out.withColumn("sess_max_text_len", smax_g)
+            .withColumn("sess_min_text_len", smin_g)
+            .withColumn(
+                "sess_depth_text_len",
+                (F.col("sess_max_text_len") - F.col("sess_min_text_len")).cast("int"),
+            )
+            .withColumn(
+                "sess_gap_max_s",
+                F.when(sid0, F.greatest("_ls_gmax", "_P_sgmax")).otherwise(
+                    F.col("_ls_gmax")
+                ),
+            )
+            .withColumn("_sess_tlen2", sess2)
+            .withColumn(
+                "sess_std_text_len",
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.0),
+                        F.col("_sess_tlen2") / tis_c
+                        - F.col("sess_mean_text_len") * F.col("sess_mean_text_len"),
+                    )
+                ),
+            )
+            .withColumn("sess_auc_trapezoid", trap_g / F.lit(2000.0))
+            .withColumn(
+                "sess_start_hour",
+                F.hour(F.timestamp_micros(start_global.cast("long"))).cast("int"),
+            )
         )
         feature_cols = FEATURE_COLS + WIDE_FEATURE_COLS
     return out.select(*key_cols, *feature_cols), handles

@@ -56,23 +56,40 @@ LABEL_COLS = ["label_lead1_text_len", "label_lead1_ts_gap_s"]
 WIDE_FEATURE_COLS = [
     "accel_text_len",
     "active_time_run_s",
+    "alpha_proxy_idx",
+    "cbrt_text_len",
     "clip_text_len_600",
+    "conv_first_text_len",
+    "cos_dow",
+    "cos_hour",
+    "cum_empty_text",
+    "cum_long_text",
     "cum_mean_text_len",
+    "cum_role_changes",
     "cum_text_len",
     "cum_tool_set",
     "day_of_month",
     "day_of_week",
     "days_since_start",
+    "ew_balance_text",
     "exp_decay_text_len",
+    "feh_proxy_idx",
     "gap_bucket_min",
     "gap_capped_600",
+    "gap_is_long",
     "gap_max_run",
+    "gap_over_text",
     "gap_roll_max_10",
     "gap_roll_max_5",
     "gap_roll_mean_10",
     "gap_roll_mean_5",
+    "gap_roll_min_10",
+    "gap_roll_min_5",
+    "gap_roll_range_5",
     "gauss_narrow_text_len",
     "gauss_text_len",
+    "geo_mean_text_tool",
+    "harmonic_text_tool",
     "high_gap_count_run",
     "hour_bucket",
     "hour_of_day",
@@ -80,25 +97,38 @@ WIDE_FEATURE_COLS = [
     "inv1p_text_len",
     "is_assistant",
     "is_business_hours",
+    "is_dawn",
     "is_empty_text",
+    "is_evening",
+    "is_first_turn",
     "is_long_text",
     "is_month_start",
     "is_night",
     "is_prev_assistant",
     "is_prev_user",
+    "is_session_start",
+    "is_short_text",
     "is_system",
     "is_tool",
     "is_user",
+    "is_very_long_text",
     "is_weekend",
     "is_zero_gap",
     "lag2_text_len_delta",
+    "lag2_ts_gap_s",
     "lag3_text_len_delta",
+    "lag3_ts_gap_s",
     "lag4_text_len_delta",
     "lag5_text_len_delta",
+    "lag6_text_len_delta",
+    "lag7_text_len_delta",
+    "log10_text_len",
     "log1p_gap",
     "log1p_text_len",
     "log2_text_len",
+    "logg_proxy_idx",
     "mean_gap_run",
+    "minute_of_day",
     "minute_of_hour",
     "month",
     "pct_assistant_so_far",
@@ -112,8 +142,11 @@ WIDE_FEATURE_COLS = [
     "ramp_text_len",
     "rate_300s",
     "rate_3600s",
+    "rate_900s",
     "relu_text_len",
     "role_changed",
+    "role_code",
+    "roll_assistant_rate_10",
     "roll_max_text_len_10",
     "roll_max_text_len_20",
     "roll_max_text_len_5",
@@ -122,30 +155,55 @@ WIDE_FEATURE_COLS = [
     "roll_min_text_len_10",
     "roll_min_text_len_20",
     "roll_min_text_len_5",
+    "roll_range_text_len_10",
+    "roll_range_text_len_20",
+    "roll_role_changes_10",
     "roll_std_text_len_10",
+    "roll_std_text_len_20",
     "roll_std_text_len_5",
     "roll_sum_text_len_10",
     "roll_sum_text_len_20",
     "roll_sum_text_len_5",
+    "roll_tool_rate_10",
     "run_depth_text_len",
     "run_max_text_len",
     "run_min_text_len",
+    "run_std_text_len",
+    "second_of_minute",
+    "sess_auc_trapezoid",
     "sess_cum_text_len",
+    "sess_depth_text_len",
     "sess_frac_of_turns",
+    "sess_gap_max_s",
+    "sess_max_text_len",
     "sess_mean_text_len",
+    "sess_min_text_len",
+    "sess_start_hour",
+    "sess_std_text_len",
     "session_elapsed_s",
     "sigmoid_steep_text_len",
     "sigmoid_text_len",
+    "signed_log1p_delta",
+    "sin_dow",
+    "sin_hour",
     "softsign_text_len",
     "sqrt_text_len",
+    "tanh_text_len",
+    "teff_proxy_idx",
+    "text_kb_bucket",
     "text_len_bin",
     "text_len_cube_scaled",
     "text_len_is_even",
     "text_len_range_norm",
     "text_len_sq",
+    "text_len_vs_first",
     "text_len_zscore_run",
+    "text_minus_tool",
     "text_sum_300s",
     "text_sum_3600s",
+    "text_sum_60s",
+    "text_sum_900s",
+    "text_tool_ratio",
     "time_since_start_s",
     "tool_changed",
     "tool_is_set",
@@ -155,6 +213,9 @@ WIDE_FEATURE_COLS = [
     "turn_rate_conv",
     "turn_rate_session",
     "week_of_month",
+    "wing_asym_5",
+    "wing_auc_4",
+    "zscore_roll_text_len_10",
     "zscore_roll_text_len_5",
 ]
 WIDE_RATE_S = 300
@@ -169,6 +230,14 @@ FEATURE_SCHEMA = (
     "rate_60s double, roll_mean_text_len_5 double, session_id int, "
     "text_len int, tool_backfill string, turn_in_session int"
 )
+
+
+_TAU = 6.283185307179586  # 2π, identical literal in the pandas oracle
+
+
+def _tool_len_e() -> Column:
+    """tool-name length with NULL→0 (mirrors text_len's coalesce)."""
+    return F.coalesce(F.length("tool"), F.lit(0)).cast("int")
 
 
 def wide_local_exprs() -> dict[str, Column]:
@@ -237,6 +306,54 @@ def wide_local_exprs() -> dict[str, Column]:
         "text_len_bin": (F.floor(tl / 100) * 100).cast("long"),
         "text_len_sq": (tll * tll).cast("double"),
         "tool_is_set": F.col("tool").isNotNull().cast("int"),
+        # ---- growth tier 4: proxy composites (graft of the reference's
+        # Teff/logg/[Fe/H]/[α/Fe] composite indices,
+        # src/pipeline/feature_engineering.py:1044-1114), cyclical time
+        # encodings, text×tool interactions, signed-log1p stabilizer
+        # (src/pipeline/feature_engineering.py:1755-1793) ----
+        "alpha_proxy_idx": (F.greatest(F.lit(0.0), (tl - 300).cast("double")) / 100)
+        * (F.lit(1.0) / (F.lit(1.0) + F.exp(-(tl - 200) / F.lit(80.0)))),
+        "cbrt_text_len": F.cbrt(tl),
+        "cos_dow": F.cos(F.lit(_TAU) * (F.dayofweek("ts") - 1) / F.lit(7.0)),
+        "cos_hour": F.cos(F.lit(_TAU) * F.hour("ts") / F.lit(24.0)),
+        "ew_balance_text": (tl - 120) / (tl + 120),
+        "feh_proxy_idx": F.exp(F.lit(-0.5) * ssx * ssx) - F.exp(F.lit(-0.5) * nsx * nsx),
+        "gap_is_long": F.when(
+            F.col("lag1_ts_gap_s").isNotNull(),
+            (F.col("lag1_ts_gap_s") > 600).cast("double"),
+        ),
+        "gap_over_text": F.col("lag1_ts_gap_s") / (tl + 1),
+        "geo_mean_text_tool": F.sqrt(tll * _tool_len_e()),
+        "harmonic_text_tool": (F.lit(2) * tll * _tool_len_e()).cast("double")
+        / (tll + _tool_len_e() + F.lit(1)),
+        "is_dawn": ((F.hour("ts") >= 6) & (F.hour("ts") < 9)).cast("int"),
+        "is_evening": (F.hour("ts") >= 18).cast("int"),
+        "is_first_turn": F.col("lag1_ts_gap_s").isNull().cast("int"),
+        "is_short_text": (tl < 50).cast("int"),
+        "is_very_long_text": (tl > 1000).cast("int"),
+        "log10_text_len": F.when(tl > 0, F.log10(tl)),
+        "logg_proxy_idx": F.lit(0.6) * F.log1p(tl) + F.lit(0.4) * F.sqrt(tl),
+        "minute_of_day": (F.hour("ts") * 60 + F.minute("ts")).cast("int"),
+        "role_code": F.when(F.col("role") == "assistant", 1)
+        .when(F.col("role") == "user", 2)
+        .when(F.col("role") == "system", 3)
+        .when(F.col("role") == "tool", 4)
+        .otherwise(0)
+        .cast("int"),
+        "second_of_minute": F.second("ts").cast("int"),
+        "signed_log1p_delta": F.signum("lag1_text_len_delta")
+        * F.log1p(F.abs("lag1_text_len_delta")),
+        "sin_dow": F.sin(F.lit(_TAU) * (F.dayofweek("ts") - 1) / F.lit(7.0)),
+        "sin_hour": F.sin(F.lit(_TAU) * F.hour("ts") / F.lit(24.0)),
+        "tanh_text_len": F.tanh((tl - 300) / F.lit(150.0)),
+        "teff_proxy_idx": F.lit(0.5)
+        * (F.lit(1.0) / (F.lit(1.0) + F.exp(-(tl - 200) / F.lit(80.0))))
+        + F.lit(0.3) * F.exp(F.lit(-0.5) * ssx * ssx)
+        + F.lit(0.2)
+        * F.greatest(F.lit(0.0), F.least(F.lit(1.0), (tl - 100) / F.lit(400.0))),
+        "text_kb_bucket": F.floor(tl / F.lit(1024)).cast("long"),
+        "text_minus_tool": (tl - _tool_len_e()).cast("int"),
+        "text_tool_ratio": tl / (_tool_len_e() + F.lit(1)),
     }
 
 
@@ -295,7 +412,7 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s) -> DataFrame:
     )
     m_run = F.col("cum_text_len") / rn
     var_run = F.col("_ctl2") / rn - m_run * m_run
-    return (
+    df = (
         df
         .withColumn("day_of_week", F.dayofweek("ts").cast("int"))
         .withColumn(
@@ -464,6 +581,139 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s) -> DataFrame:
             / (F.col("time_since_start_s") + F.lit(1.0)),
         )
     )
+    # ---- growth tier 4a: bounded frames (gap rolls, far lags, 900s/60s
+    # ranges, role/tool rolling rates, wing integral + asymmetry — the
+    # graft of the reference's line-profile wing battery,
+    # src/pipeline/feature_engineering.py:787-966) ----
+    w4a = w.rowsBetween(-1, 0)
+    w4b = w.rowsBetween(-4, -3)
+    wtrap = w.rowsBetween(-3, 0)
+    wr900 = Window.partitionBy("conv_id").orderBy(us).rangeBetween(-900 * 1_000_000, 0)
+    wr60 = Window.partitionBy("conv_id").orderBy(us).rangeBetween(
+        -RATE_WINDOW_S * 1_000_000, 0
+    )
+    w20_m = F.avg(tll).over(w20)
+    w20_m2 = F.avg(tll * tll).over(w20)
+    # trapezoid areas in exact integers: (len_i + len_{i-1}) × the gap
+    # floored to whole milliseconds (floor via % is exact long
+    # arithmetic both engines; a double divide could round up across an
+    # integer). The wing trap caps the gap at 3600 s so int64 holds for
+    # ~10^9-row frames; the session trap's gap is ≤ gap_s by definition
+    # of a non-boundary row.
+    gl = F.least(F.col("_gap_us"), F.lit(3_600_000_000))
+    gms_cap = ((gl - gl % 1000) / 1000).cast("long")
+    gms_sess = ((F.col("_gap_us") - F.col("_gap_us") % 1000) / 1000).cast("long")
+    df = (
+        df.withColumn(
+            "_trap_w",
+            F.when(F.col("_gap_us").isNotNull(), (tll + F.lag(tll).over(w)) * gms_cap),
+        )
+        .withColumn(
+            "_trap_s",
+            F.when(
+                (F.col("_sb") == 0) & F.col("_gap_us").isNotNull(),
+                (tll + F.lag(tll).over(w)) * gms_sess,
+            ),
+        )
+        .withColumn("gap_roll_min_5", F.min(F.col("lag1_ts_gap_s")).over(w5))
+        .withColumn("gap_roll_min_10", F.min(F.col("lag1_ts_gap_s")).over(w10))
+        .withColumn(
+            "gap_roll_range_5", F.col("gap_roll_max_5") - F.col("gap_roll_min_5")
+        )
+        .withColumn(
+            "lag2_ts_gap_s", (us - F.lag(us, 2).over(w)).cast("double") / F.lit(1e6)
+        )
+        .withColumn(
+            "lag3_ts_gap_s", (us - F.lag(us, 3).over(w)).cast("double") / F.lit(1e6)
+        )
+        .withColumn("lag6_text_len_delta", (tl - F.lag(tl, 6).over(w)).cast("double"))
+        .withColumn("lag7_text_len_delta", (tl - F.lag(tl, 7).over(w)).cast("double"))
+        .withColumn("rate_900s", F.count(F.lit(1)).over(wr900).cast("double"))
+        .withColumn("text_sum_900s", F.sum(tl).over(wr900).cast("long"))
+        .withColumn("text_sum_60s", F.sum(tl).over(wr60).cast("long"))
+        .withColumn(
+            "roll_assistant_rate_10",
+            F.sum((F.col("role") == "assistant").cast("int")).over(w10)
+            / F.count(F.lit(1)).over(w10),
+        )
+        .withColumn(
+            "roll_tool_rate_10",
+            F.sum(F.col("tool").isNotNull().cast("int")).over(w10)
+            / F.count(F.lit(1)).over(w10),
+        )
+        .withColumn("roll_role_changes_10", F.sum("role_changed").over(w10).cast("long"))
+        .withColumn(
+            "roll_range_text_len_10",
+            F.col("roll_max_text_len_10") - F.col("roll_min_text_len_10"),
+        )
+        .withColumn(
+            "roll_range_text_len_20",
+            F.col("roll_max_text_len_20") - F.col("roll_min_text_len_20"),
+        )
+        .withColumn(
+            "roll_std_text_len_20",
+            F.sqrt(F.greatest(F.lit(0.0), w20_m2 - w20_m * w20_m)),
+        )
+        .withColumn(
+            "zscore_roll_text_len_10",
+            F.when(
+                w10_m2 - w10_m * w10_m > 0,
+                (tll - w10_m) / F.sqrt(w10_m2 - w10_m * w10_m),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("wing_auc_4", F.sum("_trap_w").over(wtrap) / F.lit(2000.0))
+        .withColumn(
+            "wing_asym_5", (F.sum(tll).over(w4a) - F.sum(tll).over(w4b)).cast("double")
+        )
+    )
+    # ---- growth tier 4b: running + session-scoped battery. The
+    # (conv_id, session_id) window partitioning is SATISFIED by the
+    # existing conv_id hash exchange (hash on a subset of the clustering
+    # keys) — Catalyst adds an in-partition sort, never a new shuffle
+    # (plan-asserted in tests/test_plan_shape.py). ----
+    wsess = Window.partitionBy("conv_id", "session_id").orderBy("ts", "turn_idx")
+    wsc = wsess.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    smax = F.max(tl).over(wsc).cast("int")
+    smin = F.min(tl).over(wsc).cast("int")
+    tis = F.col("turn_in_session")
+    df = (
+        df.withColumn("conv_first_text_len", F.first(tl).over(wcum).cast("int"))
+        .withColumn(
+            "text_len_vs_first", (tl - F.col("conv_first_text_len")).cast("int")
+        )
+        .withColumn("cum_role_changes", F.sum("role_changed").over(wcum).cast("long"))
+        .withColumn(
+            "cum_empty_text", F.sum((tl == 0).cast("int")).over(wcum).cast("long")
+        )
+        .withColumn(
+            "cum_long_text", F.sum((tl > 500).cast("int")).over(wcum).cast("long")
+        )
+        .withColumn("is_session_start", (tis == 1).cast("int"))
+        .withColumn("run_std_text_len", F.sqrt(F.greatest(F.lit(0.0), var_run)))
+        .withColumn("sess_max_text_len", smax)
+        .withColumn("sess_min_text_len", smin)
+        .withColumn("sess_depth_text_len", (smax - smin).cast("int"))
+        .withColumn(
+            "sess_gap_max_s",
+            F.max(F.when(F.col("_sb") == 0, F.col("lag1_ts_gap_s"))).over(wsc),
+        )
+        .withColumn("_sess_tlen2", F.sum(tll * tll).over(wsc).cast("long"))
+        .withColumn(
+            "sess_std_text_len",
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("_sess_tlen2") / tis
+                    - F.col("sess_mean_text_len") * F.col("sess_mean_text_len"),
+                )
+            ),
+        )
+        .withColumn("sess_auc_trapezoid", F.sum("_trap_s").over(wsc) / F.lit(2000.0))
+        .withColumn(
+            "sess_start_hour", F.hour(F.timestamp_micros(start.cast("long"))).cast("int")
+        )
+    )
+    return df
 
 
 def sessionize(

@@ -423,6 +423,7 @@ WITH g AS (
          CAST(sum(vi) OVER ws AS BIGINT) AS s_i1,
          CAST(sum(vi * vi) OVER ws AS BIGINT) AS s_i2,
          CAST(sum(vi * vi * vi) OVER ws AS BIGINT) AS s_i3,
+         CAST(sum(vi * vi * vi * vi) OVER ws AS BIGINT) AS s_i4,
          CAST(sum(seg_sess) OVER ws AS BIGINT) AS s_auc,
          max(CASE WHEN sb = 0 AND rn > 1 THEN gap_us END) OVER ws AS s_gapmax,
          first_value(value) OVER ws AS s_first,
@@ -671,6 +672,21 @@ SELECT event_id, user_id, u AS ts_us,
   max(k) OVER wc AS run_k_max,
   k - lag(k) OVER w AS k_lag1_delta,
   (event_type IS NOT DISTINCT FROM lag(event_type) OVER w)::INT AS is_repeat_type,
+  round(sin(6.283185307179586 * hour(ts) / 24), 6) + 0 AS sin_hour,
+  round(cos(6.283185307179586 * hour(ts) / 24), 6) + 0 AS cos_hour,
+  round(value - lag(value, 8) OVER w, 6) + 0 AS lag8_value_delta,
+  round(sqrt(greatest(0.0, avg(vc * vc) OVER w50 - avg(vc) OVER w50 * avg(vc) OVER w50))
+        / 100, 6) AS roll_std_value_50,
+  round(min(gap_s) OVER w10, 6) AS gap_roll_min_10,
+  round(sign(value - lag(value) OVER w) * ln(1 + abs(value - lag(value) OVER w)), 6) + 0
+    AS signed_log1p_delta_value,
+  round(round((CASE WHEN s_i2 / tis - (s_i1 / tis) * (s_i1 / tis) > 0
+        THEN (s_i4 / tis - 4 * (s_i1 / tis) * (s_i3 / tis)
+              + 6 * (s_i1 / tis) * (s_i1 / tis) * (s_i2 / tis)
+              - 3 * (s_i1 / tis) * (s_i1 / tis) * (s_i1 / tis) * (s_i1 / tis))
+             / ((s_i2 / tis - (s_i1 / tis) * (s_i1 / tis))
+                * (s_i2 / tis - (s_i1 / tis) * (s_i1 / tis))) - 3 END) * 1e6, 0) / 1e6, 6) + 0
+    AS sess_kurt_value,
   round(lead(value) OVER w - value, 6) + 0 AS label_lead1_value_delta
 FROM s4
 WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),

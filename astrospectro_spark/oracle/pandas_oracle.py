@@ -329,6 +329,160 @@ def featurize_pdf(
             np.floor((g["ts"].dt.day.to_numpy() - 1) / 7) + 1
         ).astype("int64")
 
+        # ---- growth tier 4a: row-local composites (windows.wide_local_exprs
+        # mirror; TAU literal matches windows._TAU) ----
+        TAU = 6.283185307179586
+        idx = np.arange(len(g))
+        tool_len_arr = g["tool"].str.len().fillna(0).to_numpy().astype(np.int64)
+        sig80 = 1.0 / (1.0 + np.exp(-(tlf - 200) / 80.0))
+        gauss = np.exp(-0.5 * ssx * ssx)
+        gaussn = np.exp(-0.5 * nx * nx)
+        ramp = np.maximum(0.0, np.minimum(1.0, (tlf - 100) / 400.0))
+        spark_dow = (dow + 1) % 7 + 1
+        out["alpha_proxy_idx"] = (np.maximum(0.0, tlf - 300) / 100) * sig80
+        out["cbrt_text_len"] = np.cbrt(tlf)
+        out["cos_dow"] = np.cos(TAU * (spark_dow - 1) / 7.0)
+        out["cos_hour"] = np.cos(TAU * hour / 24.0)
+        out["ew_balance_text"] = (text_len - 120) / (text_len + 120)
+        out["feh_proxy_idx"] = gauss - gaussn
+        out["gap_is_long"] = np.where(
+            np.isnan(gap_s_arr), np.nan, (gap_s_arr > 600).astype(np.float64)
+        )
+        out["gap_over_text"] = gap_s_arr / (text_len + 1)
+        out["geo_mean_text_tool"] = np.sqrt((text_len * tool_len_arr).astype(np.float64))
+        out["harmonic_text_tool"] = (2 * text_len * tool_len_arr).astype(
+            np.float64
+        ) / (text_len + tool_len_arr + 1)
+        out["is_dawn"] = ((hour >= 6) & (hour < 9)).astype("int32")
+        out["is_evening"] = (hour >= 18).astype("int32")
+        out["is_first_turn"] = np.isnan(gap_s_arr).astype("int32")
+        out["is_short_text"] = (text_len < 50).astype("int32")
+        out["is_very_long_text"] = (text_len > 1000).astype("int32")
+        with np.errstate(divide="ignore"):
+            out["log10_text_len"] = np.where(
+                text_len > 0, np.log10(np.maximum(tlf, 1.0)), np.nan
+            )
+        out["logg_proxy_idx"] = 0.6 * np.log1p(tlf) + 0.4 * np.sqrt(tlf)
+        minute = g["ts"].dt.minute.to_numpy()
+        out["minute_of_day"] = (hour * 60 + minute).astype("int32")
+        _role_map = {"assistant": 1, "user": 2, "system": 3, "tool": 4}
+        out["role_code"] = np.array(
+            [_role_map.get(r, 0) for r in rv], dtype="int32"
+        )
+        out["second_of_minute"] = g["ts"].dt.second.to_numpy().astype("int32")
+        out["sin_dow"] = np.sin(TAU * (spark_dow - 1) / 7.0)
+        out["sin_hour"] = np.sin(TAU * hour / 24.0)
+        out["signed_log1p_delta"] = np.sign(lag_delta) * np.log1p(np.abs(lag_delta))
+        out["tanh_text_len"] = np.tanh((tlf - 300) / 150.0)
+        out["teff_proxy_idx"] = 0.5 * sig80 + 0.3 * gauss + 0.2 * ramp
+        out["text_kb_bucket"] = (text_len // 1024).astype("int64")
+        out["text_minus_tool"] = (text_len - tool_len_arr).astype("int32")
+        out["text_tool_ratio"] = text_len / (tool_len_arr + 1)
+
+        # ---- growth tier 4a: bounded frames ----
+        out["gap_roll_min_5"] = (
+            pd.Series(gap_s_arr).rolling(5, min_periods=1).min().to_numpy()
+        )
+        out["gap_roll_min_10"] = (
+            pd.Series(gap_s_arr).rolling(10, min_periods=1).min().to_numpy()
+        )
+        out["gap_roll_range_5"] = (
+            out["gap_roll_max_5"].to_numpy() - out["gap_roll_min_5"].to_numpy()
+        )
+        for kk in (2, 3):
+            dd = (ts_us - np.roll(ts_us, kk)).astype(np.float64) / 1e6
+            dd[:kk] = np.nan
+            out[f"lag{kk}_ts_gap_s"] = dd
+        for kk in (6, 7):
+            d = text_len.astype(np.float64) - np.roll(text_len, kk).astype(np.float64)
+            d[:kk] = np.nan
+            out[f"lag{kk}_text_len_delta"] = d
+        lo900 = np.searchsorted(ts_us, ts_us - 900 * 1_000_000, side="left")
+        out["rate_900s"] = (hi300 - lo900).astype(np.float64)
+        out["text_sum_900s"] = (ps[hi300] - ps[lo900]).astype("int64")
+        lo60 = np.searchsorted(ts_us, ts_us - 60 * 1_000_000, side="left")
+        out["text_sum_60s"] = (ps[hi300] - ps[lo60]).astype("int64")
+        lo10 = np.maximum(idx - 9, 0)
+        cnt10 = np.minimum(idx + 1, 10)
+        ia = (g["role"].to_numpy() == "assistant").astype(np.int64)
+        cs_a = np.concatenate([[0], np.cumsum(ia)])
+        out["roll_assistant_rate_10"] = (cs_a[idx + 1] - cs_a[lo10]) / cnt10
+        cs_t = np.concatenate([[0], np.cumsum(tool_set.astype(np.int64))])
+        out["roll_tool_rate_10"] = (cs_t[idx + 1] - cs_t[lo10]) / cnt10
+        rc = out["role_changed"].to_numpy().astype(np.int64)
+        cs_rc = np.concatenate([[0], np.cumsum(rc)])
+        out["roll_role_changes_10"] = (cs_rc[idx + 1] - cs_rc[lo10]).astype("int64")
+        out["roll_range_text_len_10"] = (
+            out["roll_max_text_len_10"].to_numpy()
+            - out["roll_min_text_len_10"].to_numpy()
+        )
+        out["roll_range_text_len_20"] = (
+            out["roll_max_text_len_20"].to_numpy()
+            - out["roll_min_text_len_20"].to_numpy()
+        )
+        w20m = s.rolling(20, min_periods=1).mean().to_numpy()
+        w20m2 = (s * s).rolling(20, min_periods=1).mean().to_numpy()
+        out["roll_std_text_len_20"] = np.sqrt(np.maximum(0.0, w20m2 - w20m * w20m))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out["zscore_roll_text_len_10"] = np.where(
+                w10m2 - w10m * w10m > 0,
+                (text_len - w10m)
+                / np.sqrt(np.where(w10m2 - w10m * w10m > 0, w10m2 - w10m * w10m, 1.0)),
+                0.0,
+            )
+        # wing integral (4 trailing trapezoids, gap floored to whole ms,
+        # capped at 3600 s) and 5-row wing asymmetry — exact int sums
+        prev_len = np.roll(text_len, 1)
+        gap_valid = ~np.isnan(gap_s_arr)
+        gms_cap = np.minimum(gap_us, 3_600_000_000) // 1000
+        trap_w = np.where(gap_valid, (text_len + prev_len) * gms_cap, 0)
+        cs_tw = np.concatenate([[0], np.cumsum(trap_w)])
+        cs_twv = np.concatenate([[0], np.cumsum(gap_valid.astype(np.int64))])
+        lo4 = np.maximum(idx - 3, 0)
+        cntv = cs_twv[idx + 1] - cs_twv[lo4]
+        out["wing_auc_4"] = np.where(
+            cntv > 0, (cs_tw[idx + 1] - cs_tw[lo4]) / 2000.0, np.nan
+        )
+        sA = ps[idx + 1] - ps[np.maximum(idx - 1, 0)]
+        sB = ps[np.maximum(idx - 2, 0)] - ps[np.maximum(idx - 4, 0)]
+        out["wing_asym_5"] = np.where(idx >= 3, (sA - sB).astype(np.float64), np.nan)
+
+        # ---- growth tier 4b: running + session-scoped ----
+        out["conv_first_text_len"] = np.full(len(g), text_len[0], dtype="int32")
+        out["text_len_vs_first"] = (text_len - text_len[0]).astype("int32")
+        out["cum_role_changes"] = np.cumsum(rc).astype("int64")
+        out["cum_empty_text"] = np.cumsum(text_len == 0).astype("int64")
+        out["cum_long_text"] = np.cumsum(text_len > 500).astype("int64")
+        out["is_session_start"] = (turn_in_session == 1).astype("int32")
+        out["run_std_text_len"] = np.sqrt(np.maximum(0.0, var_run))
+        sid_s = pd.Series(session_id)
+        tl_s = pd.Series(text_len)
+        smax_a = tl_s.groupby(sid_s).cummax().to_numpy().astype("int32")
+        smin_a = tl_s.groupby(sid_s).cummin().to_numpy().astype("int32")
+        out["sess_max_text_len"] = smax_a
+        out["sess_min_text_len"] = smin_a
+        out["sess_depth_text_len"] = (smax_a - smin_a).astype("int32")
+        m_sess = (~sb) & gap_valid
+        out["sess_gap_max_s"] = (
+            pd.Series(np.where(m_sess, gap_s_arr, np.nan))
+            .groupby(sid_s)
+            .cummax()
+            .to_numpy()
+        )
+        sess_tlen2 = (tl_s * tl_s).groupby(sid_s).cumsum().to_numpy().astype("int64")
+        sess_mean = sess_cum.astype(np.float64) / turn_in_session
+        out["sess_std_text_len"] = np.sqrt(
+            np.maximum(0.0, sess_tlen2 / turn_in_session - sess_mean * sess_mean)
+        )
+        gms = gap_us // 1000
+        trap_s_arr = np.where(m_sess, (text_len + prev_len) * gms, 0)
+        cs_sess = pd.Series(trap_s_arr).groupby(sid_s).cumsum().to_numpy()
+        cnt_sess = pd.Series(m_sess.astype(np.int64)).groupby(sid_s).cumsum().to_numpy()
+        out["sess_auc_trapezoid"] = np.where(cnt_sess > 0, cs_sess / 2000.0, np.nan)
+        out["sess_start_hour"] = (
+            pd.DatetimeIndex(pd.to_datetime(start, unit="us")).hour.to_numpy().astype("int32")
+        )
+
     if include_labels:
         lead_len = np.roll(text_len, -1).astype(np.float64)
         lead_len[-1] = np.nan

@@ -666,7 +666,7 @@ def q_feature_vector(spark, sf_dir):
 
 
 def q_feature_vector_wide(spark, sf_dir):
-    """FLAGSHIP-WIDE: the 176-column locked per-turn feature schema in
+    """FLAGSHIP-WIDE: the 183-column locked per-turn feature schema in
     ONE window plan — the full graft of the reference's 174-feature
     battery + post-merge columns
     (src/pipeline/feature_engineering.py:1222-1358, dry-run name lock
@@ -842,6 +842,7 @@ def q_feature_vector_wide(spark, sf_dir):
     sess_i1 = _sess("_cvi", vi)
     sess_i2 = _sess("_cvi2", vi * vi)
     sess_i3 = _sess("_cvi3", vi * vi * vi)
+    sess_i4 = _sess("_cvi4", vi * vi * vi * vi)
     sess_c2 = _sess("_cvc2", F.col("_vc") * F.col("_vc"))
     # the boundary row's trapezoid segment is zeroed, so its carry is
     # the plain cumulative value at the boundary
@@ -882,6 +883,13 @@ def q_feature_vector_wide(spark, sf_dir):
     sm1, sm2, sm3 = sess_i1 / tis, sess_i2 / tis, sess_i3 / tis
     svar = sm2 - sm1 * sm1
     smu3 = sm3 - 3 * sm1 * sm2 + 2 * sm1 * sm1 * sm1
+    sm4 = sess_i4 / tis
+    smu4 = (
+        sm4
+        - 4 * sm1 * sm3
+        + 6 * sm1 * sm1 * sm2
+        - 3 * sm1 * sm1 * sm1 * sm1
+    )
     # per-entity deg-2 Cramer fit (A7 main-sequence delta) from the
     # staged unordered-window moment sums — term-for-term the oracle's
     pn = F.col("_pn")
@@ -920,6 +928,9 @@ def q_feature_vector_wide(spark, sf_dir):
     wr12 = wp.orderBy("_us").rangeBetween(-12 * 3600 * 1_000_000, 0)
     vc20_m = F.avg("_vc").over(w20)
     vc20_m2 = F.avg(F.col("_vc") * F.col("_vc")).over(w20)
+    vc50_m = F.avg("_vc").over(w50)
+    vc50_m2 = F.avg(F.col("_vc") * F.col("_vc")).over(w50)
+    _tau = 6.283185307179586
     var5c = vc5_m2 - vc5_m * vc5_m
     lag5v = F.lag(v, 5).over(w)
 
@@ -1211,6 +1222,23 @@ def q_feature_vector_wide(spark, sf_dir):
         F.col("event_type").eqNullSafe(F.lag("event_type").over(w)).cast("int").alias(
             "is_repeat_type"
         ),
+        # ---- growth tier 4 (columns 177-183): cyclical hour encoding,
+        # far lag, 50-row dispersion, gap floor, signed-log1p stabilizer
+        # (reference stabilize_spectral_features,
+        # src/pipeline/feature_engineering.py:1755-1793), session
+        # kurtosis (line-profile 4th moment,
+        # src/pipeline/feature_engineering.py:900-966) ----
+        F.round(F.sin(F.lit(_tau) * F.hour("ts") / F.lit(24.0)), 6).alias("sin_hour"),
+        F.round(F.cos(F.lit(_tau) * F.hour("ts") / F.lit(24.0)), 6).alias("cos_hour"),
+        F.round(v - F.lag(v, 8).over(w), 6).alias("lag8_value_delta"),
+        F.round(
+            F.sqrt(F.greatest(F.lit(0.0), vc50_m2 - vc50_m * vc50_m)) / 100, 6
+        ).alias("roll_std_value_50"),
+        F.round(F.min("_gap").over(w10), 6).alias("gap_roll_min_10"),
+        F.round(F.signum(v - lagv) * F.log1p(F.abs(v - lagv)), 6).alias(
+            "signed_log1p_delta_value"
+        ),
+        snap6(F.when(svar > 0, smu4 / (svar * svar) - 3)).alias("sess_kurt_value"),
         F.round(F.lead(v).over(w) - v, 6).alias("label_lead1_value_delta"),
     )
 

@@ -68,7 +68,7 @@ def test_asof_single_exchange_no_python(spark, transcripts_sdf, anchors_sdf):
 
 
 def test_feature_vector_wide_single_exchange(spark):
-    """The 176-column wide vector must keep the one-exchange property:
+    """The 183-column wide vector must keep the one-exchange property:
     every window variant (ordered, row-frame x4, range-frame x4,
     unordered, nested cum-sum stages, struct-max session windows, and
     the per-entity poly-fit moment sums) shares partitionBy(user_id)."""
@@ -79,7 +79,7 @@ def test_feature_vector_wide_single_exchange(spark):
     c = _op_counts(plan)
     assert c.get("Exchange", 0) == 1, c
     assert "PythonUDF" not in plan
-    assert len(df.columns) == 176
+    assert len(df.columns) == 183
 
 
 def test_minhash_band_exchange_carries_ids_only(spark, documents_sdf):

@@ -326,6 +326,7 @@ def _featurize_hot(
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     is_real = F.col("_ctx") == 0
 
+    u = u.withColumn("_usq", _us())  # shared sort key for range frames
     gap = (_us() - F.lag(_us()).over(w)).cast("double") / F.lit(1e6)
     u = u.withColumn("lag1_ts_gap_s", gap)
     u = u.withColumn(
@@ -359,14 +360,6 @@ def _featurize_hot(
         "_local_backfill",
         F.last(F.when(is_real, F.col("tool")), ignorenulls=True).over(wcum),
     )
-    wrange = (
-        # the rate frame is the FEATURE's window (60s) — margin_us is the
-        # context-copy horizon, which may be wider (wide tier's 300s rate)
-        Window.partitionBy("conv_id", "_tgt")
-        .orderBy(_us())
-        .rangeBetween(-rate_window_s * 1_000_000, 0)
-    )
-    u = u.withColumn("rate_60s", F.count(F.lit(1)).over(wrange).cast("double"))
     for r in ROLES:
         u = u.withColumn(
             f"_lc_{r}",
@@ -385,12 +378,12 @@ def _featurize_hot(
         us_e = _us()
         wr300 = (
             Window.partitionBy("conv_id", "_tgt")
-            .orderBy(us_e)
+            .orderBy(F.col("_usq"))
             .rangeBetween(-WIDE_RATE_S * 1_000_000, 0)
         )
         wr3600 = (
             Window.partitionBy("conv_id", "_tgt")
-            .orderBy(us_e)
+            .orderBy(F.col("_usq"))
             .rangeBetween(-WIDE_RATE_MAX_S * 1_000_000, 0)
         )
         w5_m = F.avg(tll).over(w5)
@@ -417,7 +410,6 @@ def _featurize_hot(
             .withColumn("log1p_text_len", F.log1p(tl))
             .withColumn("minute_of_hour", F.minute("ts").cast("int"))
             .withColumn("prev_role", F.lag("role").over(w))
-            .withColumn("rate_300s", F.count(F.lit(1)).over(wr300).cast("double"))
             .withColumn(
                 "role_changed",
                 (~F.col("role").eqNullSafe(F.lag("role").over(w))).cast("int"),
@@ -429,7 +421,6 @@ def _featurize_hot(
                 F.sqrt(F.greatest(F.lit(0.0), w5_m2 - w5_m * w5_m)),
             )
             .withColumn("roll_sum_text_len_5", F.sum(tl).over(w5).cast("long"))
-            .withColumn("text_sum_300s", F.sum(tl).over(wr300).cast("long"))
             .withColumn(
                 "sigmoid_text_len",
                 F.lit(1.0) / (F.lit(1.0) + F.exp(-(tl - 200) / F.lit(80.0))),
@@ -493,8 +484,6 @@ def _featurize_hot(
                 "gap_roll_mean_10",
                 F.sum("_gap_us").over(w10) / F.count("_gap_us").over(w10) / F.lit(1e6),
             )
-            .withColumn("rate_3600s", F.count(F.lit(1)).over(wr3600).cast("double"))
-            .withColumn("text_sum_3600s", F.sum(tl).over(wr3600).cast("long"))
             .withColumn(
                 "zscore_roll_text_len_5",
                 F.when(
@@ -549,12 +538,12 @@ def _featurize_hot(
         wtrap = w.rowsBetween(-3, 0)
         wr900 = (
             Window.partitionBy("conv_id", "_tgt")
-            .orderBy(us_e)
+            .orderBy(F.col("_usq"))
             .rangeBetween(-900 * 1_000_000, 0)
         )
         wr60 = (
             Window.partitionBy("conv_id", "_tgt")
-            .orderBy(us_e)
+            .orderBy(F.col("_usq"))
             .rangeBetween(-RATE_WINDOW_S * 1_000_000, 0)
         )
         w20_m = F.avg(tll).over(w20)
@@ -595,9 +584,6 @@ def _featurize_hot(
             .withColumn(
                 "lag7_text_len_delta", (tl - F.lag(tl, 7).over(w)).cast("double")
             )
-            .withColumn("rate_900s", F.count(F.lit(1)).over(wr900).cast("double"))
-            .withColumn("text_sum_900s", F.sum(tl).over(wr900).cast("long"))
-            .withColumn("text_sum_60s", F.sum(tl).over(wr60).cast("long"))
             .withColumn(
                 "roll_assistant_rate_10",
                 F.sum((F.col("role") == "assistant").cast("int")).over(w10)
@@ -645,20 +631,7 @@ def _featurize_hot(
         )
         wslc = wsl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         u = (
-            u.withColumn("_ls_max", F.max(F.when(is_real, tl)).over(wslc).cast("int"))
-            .withColumn("_ls_min", F.min(F.when(is_real, tl)).over(wslc).cast("int"))
-            .withColumn(
-                "_ls_gmax",
-                F.max(
-                    F.when(is_real & (F.col("_sb") == 0), F.col("lag1_ts_gap_s"))
-                ).over(wslc),
-            )
-            .withColumn(
-                "_ls_tlen2",
-                F.sum(F.when(is_real, tll * tll).otherwise(0)).over(wslc).cast("long"),
-            )
-            .withColumn("_ls_trap", F.sum(F.when(is_real, F.col("_trap_s"))).over(wslc))
-            .withColumn(
+            u.withColumn(
                 "_lc_rc",
                 F.sum(F.when(is_real, F.col("role_changed")).otherwise(0))
                 .over(wcum)
@@ -676,6 +649,39 @@ def _featurize_hot(
                 .over(wcum)
                 .cast("long"),
             )
+            .withColumn("_ls_max", F.max(F.when(is_real, tl)).over(wslc).cast("int"))
+            .withColumn("_ls_min", F.min(F.when(is_real, tl)).over(wslc).cast("int"))
+            .withColumn(
+                "_ls_gmax",
+                F.max(
+                    F.when(is_real & (F.col("_sb") == 0), F.col("lag1_ts_gap_s"))
+                ).over(wslc),
+            )
+            .withColumn(
+                "_ls_tlen2",
+                F.sum(F.when(is_real, tll * tll).otherwise(0)).over(wslc).cast("long"),
+            )
+            .withColumn("_ls_trap", F.sum(F.when(is_real, F.col("_trap_s"))).over(wslc))
+        )
+    # time-range family LAST, in one contiguous us-ordered run (single
+    # sort for every rangeBetween frame — mirrors windows._wide_exprs)
+    wrange = (
+        # the rate frame is the FEATURE's window (60s) — margin_us is the
+        # context-copy horizon, which may be wider (wide tier's 3600s range)
+        Window.partitionBy("conv_id", "_tgt")
+        .orderBy(F.col("_usq"))
+        .rangeBetween(-rate_window_s * 1_000_000, 0)
+    )
+    u = u.withColumn("rate_60s", F.count(F.lit(1)).over(wrange).cast("double"))
+    if wide:
+        u = (
+            u.withColumn("rate_300s", F.count(F.lit(1)).over(wr300).cast("double"))
+            .withColumn("text_sum_300s", F.sum(tl).over(wr300).cast("long"))
+            .withColumn("rate_3600s", F.count(F.lit(1)).over(wr3600).cast("double"))
+            .withColumn("text_sum_3600s", F.sum(tl).over(wr3600).cast("long"))
+            .withColumn("rate_900s", F.count(F.lit(1)).over(wr900).cast("double"))
+            .withColumn("text_sum_900s", F.sum(tl).over(wr900).cast("long"))
+            .withColumn("text_sum_60s", F.sum(tl).over(wr60).cast("long"))
         )
     local = u.filter(is_real).drop("_ctx")
 

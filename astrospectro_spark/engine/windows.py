@@ -6,6 +6,15 @@ whole-stage-codegen'd, ONE shuffle for the whole feature set (all
 windows share the same partitioning, so Catalyst reuses the exchange).
 No Python crosses the hot path.
 
+Sort-pass discipline: windows are CLUSTERED by ordering family — all
+(ts, turn_idx) row/cumulative frames first, then the
+(conv_id, session_id) session family, then every rangeBetween frame
+ordered by ONE staged epoch-µs column (``_usq``; a fresh
+``unix_micros(ts)`` projection per window would give each frame its own
+sort key). Catalyst inserts one Sort per family switch, so the 175-
+column wide plan runs 3 sorts instead of 16 — at 10^12 rows each
+avoided Sort is a full pass over every partition.
+
 Leakage contract: every frame ends at the CURRENT ROW
 (``rowsBetween(..., 0)`` / ``rangeBetween(..., 0)``) — no feature may
 read turns with ``ts >`` the current turn. Lead-based columns are
@@ -366,353 +375,314 @@ def _ts_us(col: str = "ts") -> Column:
 
 
 def _wide_exprs(df, w, wcum, us, roll_rows, gap_s) -> DataFrame:
-    """The wide feature tier. Same single exchange: every window below
-    is another variant of partitionBy(conv_id). session_elapsed_s,
-    sess_cum_text_len and turn-rate features use the boundary-carry
-    trick (value at the last session boundary at or before this row)
-    instead of a second (conv, session) exchange; running mean/std
-    (zscore) come from exact int64 cumulative sums so the expr, salted
-    and grouped paths produce bit-identical doubles.
+    """The wide feature tier, computed in DEPENDENCY LAYERS: each layer
+    is one projection of mutually independent window expressions, so
+    Catalyst extracts the whole layer into a single WindowExec pass
+    (one row-copy per layer instead of one per column). Layers:
 
-    Requires ``_sb`` (session-boundary flag) and ``_rn`` (per-conv row
-    number) staged by :func:`featurize_expr`."""
+    - **W0** — every window over raw/base-staged columns (lags, all
+      roll frames, cumulative sums/extremes, boundary carries that only
+      read base columns). One node, ~45 expressions.
+    - locals — row-wise derivations of W0 outputs (no window).
+    - **W1** — windows over W0-derived columns (session text-len carry,
+      role-change sums, the wing trapezoid integral). One node.
+    - **SESS** — the (conv_id, session_id) family: partitioning by a
+      superset of the exchange key reuses the conv_id hash exchange
+      (subset rule) and costs one in-partition sort, never a shuffle.
+    - **RANGE** — every rangeBetween frame, ordered by the ONE staged
+      ``_usq`` column so the whole family shares a single us-Sort (a
+      fresh unix_micros projection per window would give each frame its
+      own sort key). The caller appends ``rate_60s`` to this node.
+    - final locals — :func:`wide_local_exprs` + calendar/derived cols.
+
+    Same single exchange as the base tier; running mean/std (zscore)
+    come from exact int64 cumulative sums so the expr, salted and
+    grouped paths produce bit-identical doubles. Requires ``_sb``,
+    ``_rn``, ``_gap_us`` staged by :func:`featurize_expr`.
+    """
     w5 = w.rowsBetween(-(roll_rows - 1), Window.currentRow)
     w10 = w.rowsBetween(-(WIDE_ROLL10 - 1), Window.currentRow)
     w20 = w.rowsBetween(-(WIDE_ROLL20 - 1), Window.currentRow)
-    wp = Window.partitionBy("conv_id")
-    wr = Window.partitionBy("conv_id").orderBy(us).rangeBetween(
+    w4a = w.rowsBetween(-1, 0)
+    w4b = w.rowsBetween(-4, -3)
+    wtrap = w.rowsBetween(-3, 0)
+    usq = F.col("_usq")
+    wr = Window.partitionBy("conv_id").orderBy(usq).rangeBetween(
         -WIDE_RATE_S * 1_000_000, 0
     )
-    wr36 = Window.partitionBy("conv_id").orderBy(us).rangeBetween(
+    wr36 = Window.partitionBy("conv_id").orderBy(usq).rangeBetween(
         -WIDE_RATE_MAX_S * 1_000_000, 0
+    )
+    wr900 = Window.partitionBy("conv_id").orderBy(usq).rangeBetween(
+        -900 * 1_000_000, 0
+    )
+    wr60 = Window.partitionBy("conv_id").orderBy(usq).rangeBetween(
+        -RATE_WINDOW_S * 1_000_000, 0
     )
     tl = F.col("text_len")
     tll = tl.cast("long")
-    sb_us = F.when(F.col("lag1_ts_gap_s") > gap_s, us)
-    start = F.coalesce(F.last(sb_us, ignorenulls=True).over(wcum), F.min(us).over(wp))
-    gap_us = us - F.lag(us).over(w)
+    gap = F.col("lag1_ts_gap_s")
+    rn = F.col("_rn")
     w5_m = F.avg(tll).over(w5)
     w5_m2 = F.avg(tll * tll).over(w5)
     w10_m = F.avg(tll).over(w10)
     w10_m2 = F.avg(tll * tll).over(w10)
-    lagtl = F.lag(tl).over(w)
-    first_us = F.min(us).over(wp)
-    rn = F.col("_rn")
-    df = (
-        df.withColumn("_gap_us", gap_us)
-        .withColumn("_ctl2", F.sum(tll * tll).over(wcum).cast("long"))
-        .withColumn("cum_text_len", F.sum(tl).over(wcum).cast("long"))
-    )
-    # carries staged on cum_text_len (window-over-window → own projection)
-    sess_carry = F.last(
-        F.when(F.col("_sb") == 1, F.col("cum_text_len") - tll), ignorenulls=True
-    ).over(wcum)
-    df = df.withColumn(
-        "sess_cum_text_len", (F.col("cum_text_len") - F.coalesce(sess_carry, F.lit(0))).cast("long")
-    )
-    m_run = F.col("cum_text_len") / rn
-    var_run = F.col("_ctl2") / rn - m_run * m_run
-    df = (
-        df
-        .withColumn("day_of_week", F.dayofweek("ts").cast("int"))
-        .withColumn(
-            "gap_roll_max_5", F.max(F.col("lag1_ts_gap_s")).over(w5)
-        )
-        # exact int64-µs sum/count then one divide (bit-identical to the
-        # pandas kernel; an avg over seconds-doubles is order-sensitive)
-        .withColumn(
-            "gap_roll_mean_5",
-            F.sum("_gap_us").over(w5) / F.count("_gap_us").over(w5) / F.lit(1e6),
-        )
-        .withColumn("hour_of_day", F.hour("ts").cast("int"))
-        .withColumn("is_assistant", (F.col("role") == "assistant").cast("int"))
-        .withColumn("is_system", (F.col("role") == "system").cast("int"))
-        .withColumn("is_tool", (F.col("role") == "tool").cast("int"))
-        .withColumn("is_user", (F.col("role") == "user").cast("int"))
-        .withColumn("is_weekend", F.dayofweek("ts").isin(1, 7).cast("int"))
-        .withColumn("lag2_text_len_delta", (tl - F.lag(tl, 2).over(w)).cast("double"))
-        .withColumn("lag3_text_len_delta", (tl - F.lag(tl, 3).over(w)).cast("double"))
-        .withColumn("log1p_text_len", F.log1p(tl))
-        .withColumn("minute_of_hour", F.minute("ts").cast("int"))
-        .withColumn(
-            "pct_assistant_so_far", F.col("cum_count_assistant").cast("double") / rn
-        )
-        .withColumn("pct_tool_so_far", F.col("cum_count_tool").cast("double") / rn)
-        .withColumn("prev_role", F.lag("role").over(w))
-        .withColumn("rate_300s", F.count(F.lit(1)).over(wr).cast("double"))
-        .withColumn(
-            "role_changed", (~F.col("role").eqNullSafe(F.lag("role").over(w))).cast("int")
-        )
-        # double (not int): one locked type across the expr / salted /
-        # grouped paths — the pandas kernel's rolling max/min is float64
-        # and WIDE_SCHEMA declares double
-        .withColumn("roll_max_text_len_5", F.max(tl).over(w5).cast("double"))
-        .withColumn("roll_min_text_len_5", F.min(tl).over(w5).cast("double"))
-        .withColumn(
-            "roll_std_text_len_5",
-            F.sqrt(F.greatest(F.lit(0.0), w5_m2 - w5_m * w5_m)),
-        )
-        .withColumn("roll_sum_text_len_5", F.sum(tl).over(w5).cast("long"))
-        .withColumn("run_max_text_len", F.max(tl).over(wcum).cast("int"))
-        .withColumn("run_min_text_len", F.min(tl).over(wcum).cast("int"))
-        .withColumn(
-            "sess_mean_text_len",
-            F.col("sess_cum_text_len").cast("double") / F.col("turn_in_session"),
-        )
-        .withColumn("session_elapsed_s", (us - start).cast("double") / F.lit(1e6))
-        .withColumn(
-            "sigmoid_text_len",
-            F.lit(1.0) / (F.lit(1.0) + F.exp(-(tl - 200) / F.lit(80.0))),
-        )
-        .withColumn(
-            "text_len_zscore_run",
-            F.when(var_run > 0, (tll - m_run) / F.sqrt(var_run)).otherwise(F.lit(0.0)),
-        )
-        .withColumn("text_sum_300s", F.sum(tl).over(wr).cast("long"))
-        .withColumn(
-            "tool_changed", (~F.col("tool").eqNullSafe(F.lag("tool").over(w))).cast("int")
-        )
-        .withColumn(
-            "turn_frac_day",
-            (us % F.lit(86_400_000_000)).cast("double") / F.lit(86_400_000_000.0),
-        )
-        .withColumn("turn_idx_conv", rn.cast("int"))
-        .withColumn(
-            "turn_rate_session",
-            F.col("turn_in_session").cast("double")
-            / (F.col("session_elapsed_s") + F.lit(1.0)),
-        )
-        .withColumn("roll_mean_text_len_10", F.avg(tl).over(w10))
-        .withColumn("roll_min_text_len_10", F.min(tl).over(w10).cast("double"))
-        .withColumn("roll_max_text_len_10", F.max(tl).over(w10).cast("double"))
-        .withColumn("roll_sum_text_len_10", F.sum(tl).over(w10).cast("long"))
-        # ---- growth: bounded frames (lag4/5, 20-row rolls, 10-row gap
-        # rolls, 3600s range, accel / pct-change / rolling zscore) ----
-        .withColumn("lag4_text_len_delta", (tl - F.lag(tl, 4).over(w)).cast("double"))
-        .withColumn("lag5_text_len_delta", (tl - F.lag(tl, 5).over(w)).cast("double"))
-        .withColumn(
-            "accel_text_len",
-            (tll - 2 * F.lag(tll).over(w) + F.lag(tll, 2).over(w)).cast("double"),
-        )
-        .withColumn("pct_change_text_len", F.when(lagtl > 0, (tl - lagtl) / lagtl))
-        .withColumn("roll_mean_text_len_20", F.avg(tl).over(w20))
-        .withColumn("roll_min_text_len_20", F.min(tl).over(w20).cast("double"))
-        .withColumn("roll_max_text_len_20", F.max(tl).over(w20).cast("double"))
-        .withColumn("roll_sum_text_len_20", F.sum(tl).over(w20).cast("long"))
-        .withColumn(
-            "roll_std_text_len_10",
-            F.sqrt(F.greatest(F.lit(0.0), w10_m2 - w10_m * w10_m)),
-        )
-        .withColumn("gap_roll_max_10", F.max(F.col("lag1_ts_gap_s")).over(w10))
-        .withColumn(
-            "gap_roll_mean_10",
-            F.sum("_gap_us").over(w10) / F.count("_gap_us").over(w10) / F.lit(1e6),
-        )
-        .withColumn("rate_3600s", F.count(F.lit(1)).over(wr36).cast("double"))
-        .withColumn("text_sum_3600s", F.sum(tl).over(wr36).cast("long"))
-        .withColumn(
-            "zscore_roll_text_len_5",
-            F.when(
+    w20_m = F.avg(tll).over(w20)
+    w20_m2 = F.avg(tll * tll).over(w20)
+    # identical window expressions within one projection are
+    # deduplicated by Catalyst, so compound formulas (zscore from cum
+    # sums, session_elapsed from the boundary carry) stay in-layer.
+    cum_tl = F.sum(tl).over(wcum).cast("long")
+    ctl2 = F.sum(tll * tll).over(wcum).cast("long")
+    m_run = cum_tl / rn
+    var_run = ctl2 / rn - m_run * m_run
+    sb_us = F.when(gap > gap_s, us)
+    # us is non-decreasing within a conversation, so first == min and
+    # the unordered partition-only window (its own WindowExec) is not
+    # needed
+    first_us = F.first(us).over(wcum)
+    start = F.coalesce(F.last(sb_us, ignorenulls=True).over(wcum), first_us)
+    run_max = F.max(tl).over(wcum).cast("int")
+    run_min = F.min(tl).over(wcum).cast("int")
+    act_us = F.coalesce(F.sum("_gap_us").over(wcum), F.lit(0)).cast("long")
+
+    # ---- W0: one WindowExec over (conv)(ts, turn_idx) frames ----
+    df = df.withColumns(
+        {
+            "_lag_tll": F.lag(tll).over(w),
+            "_lag2_tll": F.lag(tll, 2).over(w),
+            "prev_role": F.lag("role").over(w),
+            "_prev_tool": F.lag("tool").over(w),
+            "cum_text_len": cum_tl,
+            "lag2_text_len_delta": (tl - F.lag(tl, 2).over(w)).cast("double"),
+            "lag3_text_len_delta": (tl - F.lag(tl, 3).over(w)).cast("double"),
+            "lag4_text_len_delta": (tl - F.lag(tl, 4).over(w)).cast("double"),
+            "lag5_text_len_delta": (tl - F.lag(tl, 5).over(w)).cast("double"),
+            "lag6_text_len_delta": (tl - F.lag(tl, 6).over(w)).cast("double"),
+            "lag7_text_len_delta": (tl - F.lag(tl, 7).over(w)).cast("double"),
+            "lag2_ts_gap_s": (us - F.lag(us, 2).over(w)).cast("double") / F.lit(1e6),
+            "lag3_ts_gap_s": (us - F.lag(us, 3).over(w)).cast("double") / F.lit(1e6),
+            "roll_max_text_len_5": F.max(tl).over(w5).cast("double"),
+            "roll_min_text_len_5": F.min(tl).over(w5).cast("double"),
+            "roll_sum_text_len_5": F.sum(tl).over(w5).cast("long"),
+            "roll_std_text_len_5": F.sqrt(
+                F.greatest(F.lit(0.0), w5_m2 - w5_m * w5_m)
+            ),
+            "zscore_roll_text_len_5": F.when(
                 w5_m2 - w5_m * w5_m > 0, (tll - w5_m) / F.sqrt(w5_m2 - w5_m * w5_m)
             ).otherwise(F.lit(0.0)),
-        )
-        # ---- growth: running/unbounded stitched features ----
-        .withColumn("gap_max_run", F.max(F.col("lag1_ts_gap_s")).over(wcum))
-        .withColumn(
-            "_active_us", F.coalesce(F.sum("_gap_us").over(wcum), F.lit(0)).cast("long")
-        )
-        .withColumn(
-            "high_gap_count_run",
-            F.sum(F.when(F.col("lag1_ts_gap_s") > 3600, 1).otherwise(0))
+            "roll_mean_text_len_10": F.avg(tl).over(w10),
+            "roll_min_text_len_10": F.min(tl).over(w10).cast("double"),
+            "roll_max_text_len_10": F.max(tl).over(w10).cast("double"),
+            "roll_sum_text_len_10": F.sum(tl).over(w10).cast("long"),
+            "roll_std_text_len_10": F.sqrt(
+                F.greatest(F.lit(0.0), w10_m2 - w10_m * w10_m)
+            ),
+            "zscore_roll_text_len_10": F.when(
+                w10_m2 - w10_m * w10_m > 0,
+                (tll - w10_m) / F.sqrt(w10_m2 - w10_m * w10_m),
+            ).otherwise(F.lit(0.0)),
+            "roll_mean_text_len_20": F.avg(tl).over(w20),
+            "roll_min_text_len_20": F.min(tl).over(w20).cast("double"),
+            "roll_max_text_len_20": F.max(tl).over(w20).cast("double"),
+            "roll_sum_text_len_20": F.sum(tl).over(w20).cast("long"),
+            "roll_std_text_len_20": F.sqrt(
+                F.greatest(F.lit(0.0), w20_m2 - w20_m * w20_m)
+            ),
+            "roll_assistant_rate_10": F.sum(
+                (F.col("role") == "assistant").cast("int")
+            ).over(w10)
+            / F.count(F.lit(1)).over(w10),
+            "roll_tool_rate_10": F.sum(F.col("tool").isNotNull().cast("int")).over(
+                w10
+            )
+            / F.count(F.lit(1)).over(w10),
+            "gap_roll_max_5": F.max(gap).over(w5),
+            "gap_roll_min_5": F.min(gap).over(w5),
+            "gap_roll_mean_5": F.sum("_gap_us").over(w5)
+            / F.count("_gap_us").over(w5)
+            / F.lit(1e6),
+            "gap_roll_max_10": F.max(gap).over(w10),
+            "gap_roll_min_10": F.min(gap).over(w10),
+            "gap_roll_mean_10": F.sum("_gap_us").over(w10)
+            / F.count("_gap_us").over(w10)
+            / F.lit(1e6),
+            "wing_asym_5": (F.sum(tll).over(w4a) - F.sum(tll).over(w4b)).cast(
+                "double"
+            ),
+            "run_max_text_len": run_max,
+            "run_min_text_len": run_min,
+            "conv_first_text_len": F.first(tl).over(wcum).cast("int"),
+            "cum_tool_set": F.sum(F.col("tool").isNotNull().cast("int"))
             .over(wcum)
             .cast("long"),
-        )
-        .withColumn(
-            "cum_tool_set",
-            F.sum(F.col("tool").isNotNull().cast("int")).over(wcum).cast("long"),
-        )
-        .withColumn("time_since_start_s", (us - first_us).cast("double") / F.lit(1e6))
-        .withColumn(
-            "days_since_start",
-            F.floor((us - first_us) / F.lit(86_400_000_000)).cast("long"),
-        )
-        .withColumns(wide_local_exprs())
-        .withColumn("active_time_run_s", F.col("_active_us").cast("double") / F.lit(1e6))
-        .withColumn(
-            "mean_gap_run",
-            F.when(
-                F.col("turn_idx_conv") > 1,
-                (F.col("_active_us") / (F.col("turn_idx_conv") - 1)) / F.lit(1e6),
+            "cum_empty_text": F.sum((tl == 0).cast("int")).over(wcum).cast("long"),
+            "cum_long_text": F.sum((tl > 500).cast("int")).over(wcum).cast("long"),
+            "gap_max_run": F.max(gap).over(wcum),
+            "high_gap_count_run": F.sum(F.when(gap > 3600, 1).otherwise(0))
+            .over(wcum)
+            .cast("long"),
+            "_active_us": act_us,
+            "text_len_zscore_run": F.when(
+                var_run > 0, (tll - m_run) / F.sqrt(var_run)
+            ).otherwise(F.lit(0.0)),
+            "run_std_text_len": F.sqrt(F.greatest(F.lit(0.0), var_run)),
+            "_ctl2": ctl2,
+            "session_elapsed_s": (us - start).cast("double") / F.lit(1e6),
+            "sess_start_hour": F.hour(F.timestamp_micros(start.cast("long"))).cast(
+                "int"
             ),
-        )
-        .withColumn(
-            "cum_mean_text_len", F.col("cum_text_len") / F.col("turn_idx_conv")
-        )
-        .withColumn(
-            "pct_user_so_far", F.col("cum_count_user").cast("double") / F.col("turn_idx_conv")
-        )
-        .withColumn(
-            "pct_system_so_far",
-            F.col("cum_count_system").cast("double") / F.col("turn_idx_conv"),
-        )
-        .withColumn(
-            "pct_tool_set_so_far",
-            F.col("cum_tool_set").cast("double") / F.col("turn_idx_conv"),
-        )
-        .withColumn(
-            "run_depth_text_len",
-            (F.col("run_max_text_len") - F.col("run_min_text_len")).cast("int"),
-        )
-        .withColumn(
-            "text_len_range_norm",
-            F.when(
+            "time_since_start_s": (us - first_us).cast("double") / F.lit(1e6),
+            "days_since_start": F.floor((us - first_us) / F.lit(86_400_000_000)).cast(
+                "long"
+            ),
+        }
+    )
+
+    # ---- locals over W0 outputs (no window) ----
+    gl = F.least(F.col("_gap_us"), F.lit(3_600_000_000))
+    gms_cap = ((gl - gl % 1000) / 1000).cast("long")
+    gms_sess = ((F.col("_gap_us") - F.col("_gap_us") % 1000) / 1000).cast("long")
+    lag_tll = F.col("_lag_tll")
+    df = df.withColumns(
+        {
+            "role_changed": (~F.col("role").eqNullSafe(F.col("prev_role"))).cast(
+                "int"
+            ),
+            "tool_changed": (~F.col("tool").eqNullSafe(F.col("_prev_tool"))).cast(
+                "int"
+            ),
+            "accel_text_len": (tll - 2 * lag_tll + F.col("_lag2_tll")).cast("double"),
+            "pct_change_text_len": F.when(lag_tll > 0, (tl - lag_tll) / lag_tll),
+            # trapezoid areas in exact integers: (len_i + len_{i-1}) ×
+            # the gap floored to whole ms (floor via % is exact long
+            # arithmetic both engines). The wing trap caps the gap at
+            # 3600 s so int64 holds for ~10^9-row frames; the session
+            # trap's gap is <= gap_s by definition of a non-boundary row.
+            "_trap_w": F.when(
+                F.col("_gap_us").isNotNull(), (tll + lag_tll) * gms_cap
+            ),
+            "_trap_s": F.when(
+                (F.col("_sb") == 0) & F.col("_gap_us").isNotNull(),
+                (tll + lag_tll) * gms_sess,
+            ),
+            "gap_roll_range_5": F.col("gap_roll_max_5") - F.col("gap_roll_min_5"),
+            "roll_range_text_len_10": F.col("roll_max_text_len_10")
+            - F.col("roll_min_text_len_10"),
+            "roll_range_text_len_20": F.col("roll_max_text_len_20")
+            - F.col("roll_min_text_len_20"),
+            "turn_idx_conv": rn.cast("int"),
+            "text_len_vs_first": (tl - F.col("conv_first_text_len")).cast("int"),
+            "run_depth_text_len": (
+                F.col("run_max_text_len") - F.col("run_min_text_len")
+            ).cast("int"),
+            "text_len_range_norm": F.when(
                 F.col("run_max_text_len") - F.col("run_min_text_len") > 0,
                 (tl - F.col("run_min_text_len")).cast("double")
                 / (F.col("run_max_text_len") - F.col("run_min_text_len")),
             ),
-        )
-        .withColumn(
-            "sess_frac_of_turns",
-            F.col("turn_in_session").cast("double") / F.col("turn_idx_conv"),
-        )
-        .withColumn(
-            "turn_rate_conv",
-            F.col("turn_idx_conv").cast("double")
-            / (F.col("time_since_start_s") + F.lit(1.0)),
-        )
+            "active_time_run_s": F.col("_active_us").cast("double") / F.lit(1e6),
+            "is_session_start": (F.col("turn_in_session") == 1).cast("int"),
+        }
     )
-    # ---- growth tier 4a: bounded frames (gap rolls, far lags, 900s/60s
-    # ranges, role/tool rolling rates, wing integral + asymmetry — the
-    # graft of the reference's line-profile wing battery,
-    # src/pipeline/feature_engineering.py:787-966) ----
-    w4a = w.rowsBetween(-1, 0)
-    w4b = w.rowsBetween(-4, -3)
-    wtrap = w.rowsBetween(-3, 0)
-    wr900 = Window.partitionBy("conv_id").orderBy(us).rangeBetween(-900 * 1_000_000, 0)
-    wr60 = Window.partitionBy("conv_id").orderBy(us).rangeBetween(
-        -RATE_WINDOW_S * 1_000_000, 0
-    )
-    w20_m = F.avg(tll).over(w20)
-    w20_m2 = F.avg(tll * tll).over(w20)
-    # trapezoid areas in exact integers: (len_i + len_{i-1}) × the gap
-    # floored to whole milliseconds (floor via % is exact long
-    # arithmetic both engines; a double divide could round up across an
-    # integer). The wing trap caps the gap at 3600 s so int64 holds for
-    # ~10^9-row frames; the session trap's gap is ≤ gap_s by definition
-    # of a non-boundary row.
-    gl = F.least(F.col("_gap_us"), F.lit(3_600_000_000))
-    gms_cap = ((gl - gl % 1000) / 1000).cast("long")
-    gms_sess = ((F.col("_gap_us") - F.col("_gap_us") % 1000) / 1000).cast("long")
-    df = (
-        df.withColumn(
-            "_trap_w",
-            F.when(F.col("_gap_us").isNotNull(), (tll + F.lag(tll).over(w)) * gms_cap),
-        )
-        .withColumn(
-            "_trap_s",
-            F.when(
-                (F.col("_sb") == 0) & F.col("_gap_us").isNotNull(),
-                (tll + F.lag(tll).over(w)) * gms_sess,
+    df = df.withColumns(
+        {
+            "pct_assistant_so_far": F.col("cum_count_assistant").cast("double")
+            / F.col("turn_idx_conv"),
+            "pct_tool_so_far": F.col("cum_count_tool").cast("double")
+            / F.col("turn_idx_conv"),
+            "pct_user_so_far": F.col("cum_count_user").cast("double")
+            / F.col("turn_idx_conv"),
+            "pct_system_so_far": F.col("cum_count_system").cast("double")
+            / F.col("turn_idx_conv"),
+            "pct_tool_set_so_far": F.col("cum_tool_set").cast("double")
+            / F.col("turn_idx_conv"),
+            "cum_mean_text_len": F.col("cum_text_len") / F.col("turn_idx_conv"),
+            "mean_gap_run": F.when(
+                F.col("turn_idx_conv") > 1,
+                (F.col("_active_us") / (F.col("turn_idx_conv") - 1)) / F.lit(1e6),
             ),
-        )
-        .withColumn("gap_roll_min_5", F.min(F.col("lag1_ts_gap_s")).over(w5))
-        .withColumn("gap_roll_min_10", F.min(F.col("lag1_ts_gap_s")).over(w10))
-        .withColumn(
-            "gap_roll_range_5", F.col("gap_roll_max_5") - F.col("gap_roll_min_5")
-        )
-        .withColumn(
-            "lag2_ts_gap_s", (us - F.lag(us, 2).over(w)).cast("double") / F.lit(1e6)
-        )
-        .withColumn(
-            "lag3_ts_gap_s", (us - F.lag(us, 3).over(w)).cast("double") / F.lit(1e6)
-        )
-        .withColumn("lag6_text_len_delta", (tl - F.lag(tl, 6).over(w)).cast("double"))
-        .withColumn("lag7_text_len_delta", (tl - F.lag(tl, 7).over(w)).cast("double"))
-        .withColumn("rate_900s", F.count(F.lit(1)).over(wr900).cast("double"))
-        .withColumn("text_sum_900s", F.sum(tl).over(wr900).cast("long"))
-        .withColumn("text_sum_60s", F.sum(tl).over(wr60).cast("long"))
-        .withColumn(
-            "roll_assistant_rate_10",
-            F.sum((F.col("role") == "assistant").cast("int")).over(w10)
-            / F.count(F.lit(1)).over(w10),
-        )
-        .withColumn(
-            "roll_tool_rate_10",
-            F.sum(F.col("tool").isNotNull().cast("int")).over(w10)
-            / F.count(F.lit(1)).over(w10),
-        )
-        .withColumn("roll_role_changes_10", F.sum("role_changed").over(w10).cast("long"))
-        .withColumn(
-            "roll_range_text_len_10",
-            F.col("roll_max_text_len_10") - F.col("roll_min_text_len_10"),
-        )
-        .withColumn(
-            "roll_range_text_len_20",
-            F.col("roll_max_text_len_20") - F.col("roll_min_text_len_20"),
-        )
-        .withColumn(
-            "roll_std_text_len_20",
-            F.sqrt(F.greatest(F.lit(0.0), w20_m2 - w20_m * w20_m)),
-        )
-        .withColumn(
-            "zscore_roll_text_len_10",
-            F.when(
-                w10_m2 - w10_m * w10_m > 0,
-                (tll - w10_m) / F.sqrt(w10_m2 - w10_m * w10_m),
-            ).otherwise(F.lit(0.0)),
-        )
-        .withColumn("wing_auc_4", F.sum("_trap_w").over(wtrap) / F.lit(2000.0))
-        .withColumn(
-            "wing_asym_5", (F.sum(tll).over(w4a) - F.sum(tll).over(w4b)).cast("double")
-        )
+            "turn_rate_session": F.col("turn_in_session").cast("double")
+            / (F.col("session_elapsed_s") + F.lit(1.0)),
+            "turn_rate_conv": F.col("turn_idx_conv").cast("double")
+            / (F.col("time_since_start_s") + F.lit(1.0)),
+            "sess_frac_of_turns": F.col("turn_in_session").cast("double")
+            / F.col("turn_idx_conv"),
+        }
     )
-    # ---- growth tier 4b: running + session-scoped battery. The
-    # (conv_id, session_id) window partitioning is SATISFIED by the
-    # existing conv_id hash exchange (hash on a subset of the clustering
-    # keys) — Catalyst adds an in-partition sort, never a new shuffle
-    # (plan-asserted in tests/test_plan_shape.py). ----
+
+    # ---- W1: windows over W0-derived columns, one node ----
+    sess_carry = F.last(
+        F.when(F.col("_sb") == 1, F.col("cum_text_len") - tll), ignorenulls=True
+    ).over(wcum)
+    df = df.withColumns(
+        {
+            "sess_cum_text_len": (
+                F.col("cum_text_len") - F.coalesce(sess_carry, F.lit(0))
+            ).cast("long"),
+            "cum_role_changes": F.sum("role_changed").over(wcum).cast("long"),
+            "roll_role_changes_10": F.sum("role_changed").over(w10).cast("long"),
+            "wing_auc_4": F.sum("_trap_w").over(wtrap) / F.lit(2000.0),
+        }
+    )
+    df = df.withColumn(
+        "sess_mean_text_len",
+        F.col("sess_cum_text_len").cast("double") / F.col("turn_in_session"),
+    )
+
+    # ---- SESS: the (conv_id, session_id) family, one node ----
     wsess = Window.partitionBy("conv_id", "session_id").orderBy("ts", "turn_idx")
     wsc = wsess.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     smax = F.max(tl).over(wsc).cast("int")
     smin = F.min(tl).over(wsc).cast("int")
     tis = F.col("turn_in_session")
-    df = (
-        df.withColumn("conv_first_text_len", F.first(tl).over(wcum).cast("int"))
-        .withColumn(
-            "text_len_vs_first", (tl - F.col("conv_first_text_len")).cast("int")
-        )
-        .withColumn("cum_role_changes", F.sum("role_changed").over(wcum).cast("long"))
-        .withColumn(
-            "cum_empty_text", F.sum((tl == 0).cast("int")).over(wcum).cast("long")
-        )
-        .withColumn(
-            "cum_long_text", F.sum((tl > 500).cast("int")).over(wcum).cast("long")
-        )
-        .withColumn("is_session_start", (tis == 1).cast("int"))
-        .withColumn("run_std_text_len", F.sqrt(F.greatest(F.lit(0.0), var_run)))
-        .withColumn("sess_max_text_len", smax)
-        .withColumn("sess_min_text_len", smin)
-        .withColumn("sess_depth_text_len", (smax - smin).cast("int"))
-        .withColumn(
-            "sess_gap_max_s",
-            F.max(F.when(F.col("_sb") == 0, F.col("lag1_ts_gap_s"))).over(wsc),
-        )
-        .withColumn("_sess_tlen2", F.sum(tll * tll).over(wsc).cast("long"))
-        .withColumn(
-            "sess_std_text_len",
-            F.sqrt(
-                F.greatest(
-                    F.lit(0.0),
-                    F.col("_sess_tlen2") / tis
-                    - F.col("sess_mean_text_len") * F.col("sess_mean_text_len"),
-                )
+    sess_tlen2 = F.sum(tll * tll).over(wsc).cast("long")
+    sm = F.col("sess_mean_text_len")
+    df = df.withColumns(
+        {
+            "sess_max_text_len": smax,
+            "sess_min_text_len": smin,
+            "sess_depth_text_len": (smax - smin).cast("int"),
+            "sess_gap_max_s": F.max(F.when(F.col("_sb") == 0, gap)).over(wsc),
+            "sess_std_text_len": F.sqrt(
+                F.greatest(F.lit(0.0), sess_tlen2 / tis - sm * sm)
             ),
-        )
-        .withColumn("sess_auc_trapezoid", F.sum("_trap_s").over(wsc) / F.lit(2000.0))
-        .withColumn(
-            "sess_start_hour", F.hour(F.timestamp_micros(start.cast("long"))).cast("int")
-        )
+            "sess_auc_trapezoid": F.sum("_trap_s").over(wsc) / F.lit(2000.0),
+        }
     )
+
+    # ---- RANGE: every rangeBetween frame, one node ----
+    df = df.withColumns(
+        {
+            "rate_300s": F.count(F.lit(1)).over(wr).cast("double"),
+            "text_sum_300s": F.sum(tl).over(wr).cast("long"),
+            "rate_3600s": F.count(F.lit(1)).over(wr36).cast("double"),
+            "text_sum_3600s": F.sum(tl).over(wr36).cast("long"),
+            "rate_900s": F.count(F.lit(1)).over(wr900).cast("double"),
+            "text_sum_900s": F.sum(tl).over(wr900).cast("long"),
+            "text_sum_60s": F.sum(tl).over(wr60).cast("long"),
+        }
+    )
+
+    # ---- final locals: calendar + composite battery (no windows) ----
+    df = df.withColumns(
+        {
+            "day_of_week": F.dayofweek("ts").cast("int"),
+            "hour_of_day": F.hour("ts").cast("int"),
+            "minute_of_hour": F.minute("ts").cast("int"),
+            "is_assistant": (F.col("role") == "assistant").cast("int"),
+            "is_system": (F.col("role") == "system").cast("int"),
+            "is_tool": (F.col("role") == "tool").cast("int"),
+            "is_user": (F.col("role") == "user").cast("int"),
+            "is_weekend": F.dayofweek("ts").isin(1, 7).cast("int"),
+            "log1p_text_len": F.log1p(tl),
+            "sigmoid_text_len": F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(tl - 200) / F.lit(80.0))),
+            "turn_frac_day": (us % F.lit(86_400_000_000)).cast("double")
+            / F.lit(86_400_000_000.0),
+        }
+    )
+    df = df.withColumns(wide_local_exprs())
     return df
 
 
@@ -772,21 +742,47 @@ def featurize_expr(
     else:
         key_cols = [c for c in KEY_COLS if c != "text"]
         df = df.select(*key_cols, text_len.alias("text_len"))
+    # ONE staged epoch-µs column for every rangeBetween frame: ordering
+    # by the same physical column (not a fresh unix_micros projection
+    # per window) lets Catalyst share a single us-Sort across the whole
+    # range family instead of one sort per frame.
+    df = df.withColumn("_usq", us)
     gap_us = us - F.lag(us).over(w)
-    df = df.withColumn("lag1_ts_gap_s", gap_us.cast("double") / F.lit(1e6))
-    df = df.withColumn(
-        "lag1_text_len_delta",
-        (F.col("text_len") - F.lag("text_len").over(w)).cast("double"),
+    # ---- layer 0: every window expression over RAW columns in ONE
+    # projection — Catalyst extracts them into a single WindowExec
+    # (frames may differ within one node), so this is ONE pass over
+    # each partition instead of one per withColumn. tool_backfill is
+    # the fill-forward graft (≙ add_photometric_composites,
+    # reference: src/pipeline/feature_engineering.py:1586-1615).
+    df = df.withColumns(
+        {
+            "lag1_ts_gap_s": gap_us.cast("double") / F.lit(1e6),
+            "_gap_us": gap_us,
+            "lag1_text_len_delta": (
+                F.col("text_len") - F.lag("text_len").over(w)
+            ).cast("double"),
+            "_rn": F.row_number().over(w),
+            "tool_backfill": F.last("tool", ignorenulls=True).over(wcum),
+            **{
+                f"cum_count_{r}": F.sum(F.when(F.col("role") == r, 1).otherwise(0))
+                .over(wcum)
+                .cast("int")
+                for r in ROLES
+            },
+            "roll_mean_text_len_5": F.avg("text_len").over(
+                w.rowsBetween(-(roll_rows - 1), Window.currentRow)
+            ),
+        }
     )
-    sb = F.when(F.col("lag1_ts_gap_s") > gap_s, 1).otherwise(0)
-    df = df.withColumn("_sb", sb)
+    # ---- layer 1: session ids from the boundary flag ----
+    df = df.withColumn(
+        "_sb", F.when(F.col("lag1_ts_gap_s") > gap_s, 1).otherwise(0)
+    )
     df = df.withColumn("session_id", F.sum("_sb").over(wcum).cast("int"))
-    # turn_in_session without a second exchange: a (conv, session)
-    # partition would re-shuffle the whole table; instead count rows
-    # since the most recent session boundary inside the SAME window
-    # (rn - rn just before the last boundary).
-    rn = F.row_number().over(w)
-    df = df.withColumn("_rn", rn)
+    # ---- layer 2: turn_in_session without a second exchange: a
+    # (conv, session) partition would re-shuffle the whole table;
+    # instead count rows since the most recent session boundary inside
+    # the SAME window (rn - rn just before the last boundary). ----
     df = df.withColumn(
         "turn_in_session",
         (
@@ -798,34 +794,24 @@ def featurize_expr(
                 F.lit(0),
             )
         ).cast("int"),
-    )  # _sb/_rn stay staged: _wide_exprs consumes them; final select drops
-    # backfilled tool context: last non-null tool at-or-before this turn
-    # (≙ fill-forward in add_photometric_composites,
-    # reference: src/pipeline/feature_engineering.py:1586-1615)
-    df = df.withColumn("tool_backfill", F.last("tool", ignorenulls=True).over(wcum))
-    # rolling turn-rate on the REAL time axis: count of turns with
-    # ts in [t-60s, t] — a rangeBetween frame on integer microseconds.
-    # Note: rows sharing this exact ts are included regardless of
-    # turn_idx (time-based semantics; equal-ts is not leakage).
-    wrange = (
-        Window.partitionBy("conv_id")
-        .orderBy(us)
-        .rangeBetween(-rate_window_s * 1_000_000, 0)
-    )
-    df = df.withColumn("rate_60s", F.count(F.lit(1)).over(wrange).cast("double"))
-    for r in ROLES:
-        df = df.withColumn(
-            f"cum_count_{r}",
-            F.sum(F.when(F.col("role") == r, 1).otherwise(0)).over(wcum).cast("int"),
-        )
-    df = df.withColumn(
-        "roll_mean_text_len_5",
-        F.avg("text_len").over(w.rowsBetween(-(roll_rows - 1), Window.currentRow)),
-    )
+    )  # _sb/_rn/_gap_us stay staged: _wide_exprs consumes them
     cols = key_cols + FEATURE_COLS
     if wide:
         df = _wide_exprs(df, w, wcum, us, roll_rows, gap_s)
         cols = cols + WIDE_FEATURE_COLS
+    # rolling turn-rate on the REAL time axis: count of turns with
+    # ts in [t-60s, t] — a rangeBetween frame on integer microseconds.
+    # Note: rows sharing this exact ts are included regardless of
+    # turn_idx (time-based semantics; equal-ts is not leakage).
+    # Range windows are computed LAST, clustered with the wide tier's
+    # other us-ordered frames, so Catalyst needs one Sort for the whole
+    # range family instead of re-sorting on every ordering switch.
+    wrange = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("_usq"))
+        .rangeBetween(-rate_window_s * 1_000_000, 0)
+    )
+    df = df.withColumn("rate_60s", F.count(F.lit(1)).over(wrange).cast("double"))
     if include_labels:
         df = df.withColumn(
             "label_lead1_text_len", F.lead("text_len").over(w).cast("double")

@@ -712,27 +712,31 @@ def q_feature_vector_wide(spark, sf_dir):
     us = _us()
     v = F.col("value")
     gap_s = (us - F.lag(us).over(w)).cast("double") / 1e6
-    df = (
-        ev.withColumn("_us", us)
-        .withColumn("_gap", gap_s)
-        .withColumn("_gap_us", us - F.lag(us).over(w))
-        .withColumn("_sb", F.when(gap_s > SESSION_GAP_S, 1).otherwise(0))
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("_vc", F.round(v * 100).cast("long"))
-        .withColumn(
-            "_tc",
-            F.when(
+    # staging layers as BATCHED projections: each withColumns dict of
+    # independent expressions collapses into ONE WindowExec pass (the
+    # same layering discipline as engine/windows._wide_exprs)
+    df = ev.withColumns(
+        {
+            "_us": us,
+            "_gap": gap_s,
+            "_gap_us": us - F.lag(us).over(w),
+            "_sb": F.when(gap_s > SESSION_GAP_S, 1).otherwise(0),
+            "_rn": F.row_number().over(w),
+            "_vc": F.round(v * 100).cast("long"),
+            "_tc": F.when(
                 ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
             ).otherwise(0),
-        )
+        }
     )
     # integer-unit value for higher moments (int64-safe 4th powers) and
     # the lagged cents the session trapezoid needs
-    df = (
-        df.withColumn("_vi", F.least(F.expr("_vc div 100"), F.lit(1000)))
-        .withColumn("_lagvc", F.lag("_vc").over(w))
-        .withColumn("_hi", F.when(v > 150, 1).otherwise(0))
-        .withColumn("_ef", F.when(F.col("event_type") == "error", 1).otherwise(0))
+    df = df.withColumns(
+        {
+            "_vi": F.least(F.expr("_vc div 100"), F.lit(1000)),
+            "_lagvc": F.lag("_vc").over(w),
+            "_hi": F.when(v > 150, 1).otherwise(0),
+            "_ef": F.when(F.col("event_type") == "error", 1).otherwise(0),
+        }
     )
     # second stage: cumulative int sums feed further windows (carry);
     # _sid staged so the struct-max session trick can reference it
@@ -740,17 +744,19 @@ def q_feature_vector_wide(spark, sf_dir):
     seg_sess = F.when(
         (F.col("_sb") == 1) | (F.col("_rn") == 1), F.lit(0)
     ).otherwise((F.col("_vc") + F.col("_lagvc")) * F.col("_gap_us"))
-    df = (
-        df.withColumn("_cvc", F.sum("_vc").over(wcum))
-        .withColumn("_cvc2", F.sum(F.col("_vc") * F.col("_vc")).over(wcum))
-        .withColumn("_sid", F.sum("_sb").over(wcum).cast("long"))
-        .withColumn("_cvi", F.sum(vi).over(wcum))
-        .withColumn("_cvi2", F.sum(vi * vi).over(wcum))
-        .withColumn("_cvi3", F.sum(vi * vi * vi).over(wcum))
-        .withColumn("_cvi4", F.sum(vi * vi * vi * vi).over(wcum))
-        .withColumn("_chigh", F.sum("_hi").over(wcum))
-        .withColumn("_cerr", F.sum("_ef").over(wcum))
-        .withColumn("_cseg", F.sum(seg_sess).over(wcum))
+    df = df.withColumns(
+        {
+            "_cvc": F.sum("_vc").over(wcum),
+            "_cvc2": F.sum(F.col("_vc") * F.col("_vc")).over(wcum),
+            "_sid": F.sum("_sb").over(wcum).cast("long"),
+            "_cvi": F.sum(vi).over(wcum),
+            "_cvi2": F.sum(vi * vi).over(wcum),
+            "_cvi3": F.sum(vi * vi * vi).over(wcum),
+            "_cvi4": F.sum(vi * vi * vi * vi).over(wcum),
+            "_chigh": F.sum("_hi").over(wcum),
+            "_cerr": F.sum("_ef").over(wcum),
+            "_cseg": F.sum(seg_sess).over(wcum),
+        }
     )
     # per-entity deg-2 fit inputs: x normalized to [0,1] on the entity's
     # time span (well conditioned), then unordered-window moment sums
@@ -760,15 +766,17 @@ def q_feature_vector_wide(spark, sf_dir):
         "_x", (F.col("_us") - F.min("_us").over(wp0)).cast("double") / span.cast("double")
     )
     xx = F.col("_x")
-    df = (
-        df.withColumn("_pn", F.count(F.lit(1)).over(wp0).cast("double"))
-        .withColumn("_ps1", F.sum(xx).over(wp0))
-        .withColumn("_ps2", F.sum(xx * xx).over(wp0))
-        .withColumn("_ps3", F.sum(xx * xx * xx).over(wp0))
-        .withColumn("_ps4", F.sum(xx * xx * xx * xx).over(wp0))
-        .withColumn("_pt0", F.sum(v).over(wp0))
-        .withColumn("_pt1", F.sum(xx * v).over(wp0))
-        .withColumn("_pt2", F.sum(xx * xx * v).over(wp0))
+    df = df.withColumns(
+        {
+            "_pn": F.count(F.lit(1)).over(wp0).cast("double"),
+            "_ps1": F.sum(xx).over(wp0),
+            "_ps2": F.sum(xx * xx).over(wp0),
+            "_ps3": F.sum(xx * xx * xx).over(wp0),
+            "_ps4": F.sum(xx * xx * xx * xx).over(wp0),
+            "_pt0": F.sum(v).over(wp0),
+            "_pt1": F.sum(xx * v).over(wp0),
+            "_pt2": F.sum(xx * xx * v).over(wp0),
+        }
     )
     wr1 = wp.orderBy("_us").rangeBetween(-86_400 * 1_000_000, 0)
     wr7 = wp.orderBy("_us").rangeBetween(-7 * 86_400 * 1_000_000, 0)

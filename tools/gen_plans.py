@@ -79,7 +79,7 @@ def main() -> None:
         )
     )
     add(
-        "featurize_expr wide=True — 102-feature wide tier, still ONE exchange",
+        "featurize_expr wide=True — 163-feature wide tier, still ONE exchange",
         featurize_expr(turns, wide=True),
     )
     add(
@@ -96,7 +96,7 @@ def main() -> None:
     add("asof_join — sorted-merge as-of", asof_join(turns, anchors, tolerance_col="tolerance_s"))
     add("broadcast_enrich — fact ⋈ two broadcast dims", q_broadcast_enrich(spark, "/root/testdata/sf0.001"))
     add(
-        "feature_vector_wide — 176-column driver flagship",
+        "feature_vector_wide — 183-column driver flagship",
         q_feature_vector_wide(spark, "/root/testdata/sf0.001"),
     )
     mh = minhash_lsh_candidates(docs)

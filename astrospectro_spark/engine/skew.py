@@ -327,342 +327,276 @@ def _featurize_hot(
     is_real = F.col("_ctx") == 0
 
     u = u.withColumn("_usq", _us())  # shared sort key for range frames
-    gap = (_us() - F.lag(_us()).over(w)).cast("double") / F.lit(1e6)
-    u = u.withColumn("lag1_ts_gap_s", gap)
-    u = u.withColumn(
-        "lag1_text_len_delta",
-        (F.col("text_len") - F.lag("text_len").over(w)).cast("double"),
-    )
-    # session boundary flags only meaningful on real rows; the first real
-    # row's lag reaches the true previous row (row-margin guarantees one),
-    # so the cross-chunk gap is detected locally.
+    tl = F.col("text_len")
+    tll = tl.cast("long")
+    us_e = _us()
+    gap_expr = (us_e - F.lag(us_e).over(w)).cast("double") / F.lit(1e6)
+    w5 = w.rowsBetween(-(roll_rows - 1), Window.currentRow)
+    w10 = w.rowsBetween(-(WIDE_ROLL10 - 1), Window.currentRow)
+    w20 = w.rowsBetween(-(WIDE_ROLL20 - 1), Window.currentRow)
+    w4a = w.rowsBetween(-1, 0)
+    w4b = w.rowsBetween(-4, -3)
+    wtrap = w.rowsBetween(-3, 0)
+    w5_m = F.avg(tll).over(w5)
+    w5_m2 = F.avg(tll * tll).over(w5)
+    w10_m = F.avg(tll).over(w10)
+    w10_m2 = F.avg(tll * tll).over(w10)
+    w20_m = F.avg(tll).over(w20)
+    w20_m2 = F.avg(tll * tll).over(w20)
+    # ---- W0: every window over raw columns, ONE batched projection →
+    # one WindowExec pass (same layering discipline as
+    # windows._wide_exprs). Context rows are a contiguous suffix of the
+    # true history, so local lag/rolling chains reproduce the global
+    # ones; running partials are masked to real rows. ----
+    l0 = {
+        "lag1_ts_gap_s": gap_expr,
+        "_gap_us": us_e - F.lag(us_e).over(w),
+        "lag1_text_len_delta": (tl - F.lag("text_len").over(w)).cast("double"),
+        "_cumreal": F.sum(F.when(is_real, 1).otherwise(0)).over(wcum),
+        "_local_backfill": F.last(
+            F.when(is_real, F.col("tool")), ignorenulls=True
+        ).over(wcum),
+        **{
+            f"_lc_{r}": F.sum(
+                F.when(is_real & (F.col("role") == r), 1).otherwise(0)
+            )
+            .over(wcum)
+            .cast("int")
+            for r in ROLES
+        },
+        "roll_mean_text_len_5": F.avg("text_len").over(
+            w.rowsBetween(-(roll_rows - 1), Window.currentRow)
+        ),
+    }
+    if wide:
+        l0.update(
+            {
+                "_lag_tll": F.lag(tll).over(w),
+                "_lag2_tll": F.lag(tll, 2).over(w),
+                "prev_role": F.lag("role").over(w),
+                "_prev_tool": F.lag("tool").over(w),
+                "lag2_text_len_delta": (tl - F.lag(tl, 2).over(w)).cast("double"),
+                "lag3_text_len_delta": (tl - F.lag(tl, 3).over(w)).cast("double"),
+                "lag4_text_len_delta": (tl - F.lag(tl, 4).over(w)).cast("double"),
+                "lag5_text_len_delta": (tl - F.lag(tl, 5).over(w)).cast("double"),
+                "lag6_text_len_delta": (tl - F.lag(tl, 6).over(w)).cast("double"),
+                "lag7_text_len_delta": (tl - F.lag(tl, 7).over(w)).cast("double"),
+                "lag2_ts_gap_s": (us_e - F.lag(us_e, 2).over(w)).cast("double")
+                / F.lit(1e6),
+                "lag3_ts_gap_s": (us_e - F.lag(us_e, 3).over(w)).cast("double")
+                / F.lit(1e6),
+                "roll_max_text_len_5": F.max(tl).over(w5).cast("double"),
+                "roll_min_text_len_5": F.min(tl).over(w5).cast("double"),
+                "roll_sum_text_len_5": F.sum(tl).over(w5).cast("long"),
+                "roll_std_text_len_5": F.sqrt(
+                    F.greatest(F.lit(0.0), w5_m2 - w5_m * w5_m)
+                ),
+                "zscore_roll_text_len_5": F.when(
+                    w5_m2 - w5_m * w5_m > 0,
+                    (tll - w5_m) / F.sqrt(w5_m2 - w5_m * w5_m),
+                ).otherwise(F.lit(0.0)),
+                "roll_mean_text_len_10": F.avg(tl).over(w10),
+                "roll_min_text_len_10": F.min(tl).over(w10).cast("double"),
+                "roll_max_text_len_10": F.max(tl).over(w10).cast("double"),
+                "roll_sum_text_len_10": F.sum(tl).over(w10).cast("long"),
+                "roll_std_text_len_10": F.sqrt(
+                    F.greatest(F.lit(0.0), w10_m2 - w10_m * w10_m)
+                ),
+                "zscore_roll_text_len_10": F.when(
+                    w10_m2 - w10_m * w10_m > 0,
+                    (tll - w10_m) / F.sqrt(w10_m2 - w10_m * w10_m),
+                ).otherwise(F.lit(0.0)),
+                "roll_mean_text_len_20": F.avg(tl).over(w20),
+                "roll_min_text_len_20": F.min(tl).over(w20).cast("double"),
+                "roll_max_text_len_20": F.max(tl).over(w20).cast("double"),
+                "roll_sum_text_len_20": F.sum(tl).over(w20).cast("long"),
+                "roll_std_text_len_20": F.sqrt(
+                    F.greatest(F.lit(0.0), w20_m2 - w20_m * w20_m)
+                ),
+                "roll_assistant_rate_10": F.sum(
+                    (F.col("role") == "assistant").cast("int")
+                ).over(w10)
+                / F.count(F.lit(1)).over(w10),
+                "roll_tool_rate_10": F.sum(
+                    F.col("tool").isNotNull().cast("int")
+                ).over(w10)
+                / F.count(F.lit(1)).over(w10),
+                "wing_asym_5": (
+                    F.sum(tll).over(w4a) - F.sum(tll).over(w4b)
+                ).cast("double"),
+                "_lc_tlen": F.sum(F.when(is_real, tl).otherwise(0))
+                .over(wcum)
+                .cast("long"),
+                "_lc_tlen2": F.sum(F.when(is_real, tll * tll).otherwise(0))
+                .over(wcum)
+                .cast("long"),
+                "_lc_max": F.max(F.when(is_real, tl)).over(wcum).cast("int"),
+                "_lc_min": F.min(F.when(is_real, tl)).over(wcum).cast("int"),
+                "_lc_tset": F.sum(
+                    F.when(is_real & F.col("tool").isNotNull(), 1).otherwise(0)
+                )
+                .over(wcum)
+                .cast("long"),
+                "_lc_empty": F.sum(F.when(is_real & (tl == 0), 1).otherwise(0))
+                .over(wcum)
+                .cast("long"),
+                "_lc_long": F.sum(F.when(is_real & (tl > 500), 1).otherwise(0))
+                .over(wcum)
+                .cast("long"),
+            }
+        )
+    u = u.withColumns(l0)
+    # ---- locals over W0 (no window). Session boundary flags only
+    # meaningful on real rows; the first real row's lag reaches the
+    # true previous row (row-margin guarantees one), so the cross-chunk
+    # gap is detected locally. ----
     u = u.withColumn(
         "_sb", F.when(is_real & (F.col("lag1_ts_gap_s") > gap_s), 1).otherwise(0)
     )
-    u = u.withColumn("_local_sid", F.sum("_sb").over(wcum).cast("int"))
-    # turn-in-session without an extra exchange: rows since the last
-    # boundary = cumulative real-row count minus its value just before
-    # the most recent boundary row (same (conv, _tgt) window).
-    u = u.withColumn("_cumreal", F.sum(F.when(is_real, 1).otherwise(0)).over(wcum))
-    u = u.withColumn(
-        "_local_tis",
-        (
+    if wide:
+        gl = F.least(F.col("_gap_us"), F.lit(3_600_000_000))
+        gms_cap = ((gl - gl % 1000) / 1000).cast("long")
+        gms_sess = ((F.col("_gap_us") - F.col("_gap_us") % 1000) / 1000).cast("long")
+        lag_tll = F.col("_lag_tll")
+        u = u.withColumns(
+            {
+                "role_changed": (
+                    ~F.col("role").eqNullSafe(F.col("prev_role"))
+                ).cast("int"),
+                "tool_changed": (
+                    ~F.col("tool").eqNullSafe(F.col("_prev_tool"))
+                ).cast("int"),
+                "accel_text_len": (
+                    tll - 2 * lag_tll + F.col("_lag2_tll")
+                ).cast("double"),
+                "pct_change_text_len": F.when(
+                    lag_tll > 0, (tl - lag_tll) / lag_tll
+                ),
+                "_trap_w": F.when(
+                    F.col("_gap_us").isNotNull(), (tll + lag_tll) * gms_cap
+                ),
+                "_trap_s": F.when(
+                    (F.col("_sb") == 0) & F.col("_gap_us").isNotNull(),
+                    (tll + lag_tll) * gms_sess,
+                ),
+                "roll_range_text_len_10": F.col("roll_max_text_len_10")
+                - F.col("roll_min_text_len_10"),
+                "roll_range_text_len_20": F.col("roll_max_text_len_20")
+                - F.col("roll_min_text_len_20"),
+            }
+        )
+    # ---- W1: windows over W0/local outputs, one node. _local_tis =
+    # rows since the last boundary (cumulative real-row count minus its
+    # value just before the most recent boundary row); _cumreal stays
+    # staged — the wide tier stitches turn_idx_conv from it. ----
+    l1 = {
+        "_local_sid": F.sum("_sb").over(wcum).cast("int"),
+        "_local_tis": (
             F.col("_cumreal")
             - F.coalesce(
                 F.last(
-                    F.when(F.col("_sb") == 1, F.col("_cumreal") - 1), ignorenulls=True
+                    F.when(F.col("_sb") == 1, F.col("_cumreal") - 1),
+                    ignorenulls=True,
                 ).over(wcum),
                 F.lit(0),
             )
         ).cast("int"),
-    )  # _cumreal kept: the wide tier stitches turn_idx_conv from it
-    u = u.withColumn(
-        "_local_backfill",
-        F.last(F.when(is_real, F.col("tool")), ignorenulls=True).over(wcum),
-    )
-    for r in ROLES:
-        u = u.withColumn(
-            f"_lc_{r}",
-            F.sum(F.when(is_real & (F.col("role") == r), 1).otherwise(0))
-            .over(wcum)
-            .cast("int"),
-        )
-    u = u.withColumn(
-        "roll_mean_text_len_5",
-        F.avg("text_len").over(w.rowsBetween(-(roll_rows - 1), Window.currentRow)),
-    )
+    }
     if wide:
-        w5 = w.rowsBetween(-(roll_rows - 1), Window.currentRow)
-        tl = F.col("text_len")
-        tll = tl.cast("long")
-        us_e = _us()
-        wr300 = (
-            Window.partitionBy("conv_id", "_tgt")
-            .orderBy(F.col("_usq"))
-            .rangeBetween(-WIDE_RATE_S * 1_000_000, 0)
-        )
-        wr3600 = (
-            Window.partitionBy("conv_id", "_tgt")
-            .orderBy(F.col("_usq"))
-            .rangeBetween(-WIDE_RATE_MAX_S * 1_000_000, 0)
-        )
-        w5_m = F.avg(tll).over(w5)
-        w5_m2 = F.avg(tll * tll).over(w5)
-        lagtl = F.lag(tl).over(w)
-        u = (
-            u.withColumn("day_of_week", F.dayofweek("ts").cast("int"))
-            # context rows are a contiguous suffix of the true history,
-            # so local lag/rolling-gap chains reproduce the global ones
-            .withColumn("_gap_us", us_e - F.lag(us_e).over(w))
-            .withColumn("gap_roll_max_5", F.max(F.col("lag1_ts_gap_s")).over(w5))
-            .withColumn(
-                "gap_roll_mean_5",
-                F.sum("_gap_us").over(w5) / F.count("_gap_us").over(w5) / F.lit(1e6),
-            )
-            .withColumn("hour_of_day", F.hour("ts").cast("int"))
-            .withColumn("is_assistant", (F.col("role") == "assistant").cast("int"))
-            .withColumn("is_system", (F.col("role") == "system").cast("int"))
-            .withColumn("is_tool", (F.col("role") == "tool").cast("int"))
-            .withColumn("is_user", (F.col("role") == "user").cast("int"))
-            .withColumn("is_weekend", F.dayofweek("ts").isin(1, 7).cast("int"))
-            .withColumn("lag2_text_len_delta", (tl - F.lag(tl, 2).over(w)).cast("double"))
-            .withColumn("lag3_text_len_delta", (tl - F.lag(tl, 3).over(w)).cast("double"))
-            .withColumn("log1p_text_len", F.log1p(tl))
-            .withColumn("minute_of_hour", F.minute("ts").cast("int"))
-            .withColumn("prev_role", F.lag("role").over(w))
-            .withColumn(
-                "role_changed",
-                (~F.col("role").eqNullSafe(F.lag("role").over(w))).cast("int"),
-            )
-            .withColumn("roll_max_text_len_5", F.max(tl).over(w5).cast("double"))
-            .withColumn("roll_min_text_len_5", F.min(tl).over(w5).cast("double"))
-            .withColumn(
-                "roll_std_text_len_5",
-                F.sqrt(F.greatest(F.lit(0.0), w5_m2 - w5_m * w5_m)),
-            )
-            .withColumn("roll_sum_text_len_5", F.sum(tl).over(w5).cast("long"))
-            .withColumn(
-                "sigmoid_text_len",
-                F.lit(1.0) / (F.lit(1.0) + F.exp(-(tl - 200) / F.lit(80.0))),
-            )
-            .withColumn(
-                "tool_changed",
-                (~F.col("tool").eqNullSafe(F.lag("tool").over(w))).cast("int"),
-            )
-            .withColumn(
-                "turn_frac_day",
-                (us_e % F.lit(86_400_000_000)).cast("double") / F.lit(86_400_000_000.0),
-            )
-            # local partials (real rows only): cumulative text-len and
-            # its square-sum (zscore), running extremes, within-chunk
-            # last session-boundary ts (context rows carry _sb=0, so
-            # only real boundaries count — matching the plain plan,
-            # where the boundary row itself is real)
-            .withColumn(
-                "_lc_tlen",
-                F.sum(F.when(is_real, tl).otherwise(0)).over(wcum).cast("long"),
-            )
-            .withColumn(
-                "_lc_tlen2",
-                F.sum(F.when(is_real, tll * tll).otherwise(0)).over(wcum).cast("long"),
-            )
-            .withColumn("_lc_max", F.max(F.when(is_real, tl)).over(wcum).cast("int"))
-            .withColumn("_lc_min", F.min(F.when(is_real, tl)).over(wcum).cast("int"))
-            .withColumn(
-                "_local_start",
-                F.last(F.when(F.col("_sb") == 1, us_e), ignorenulls=True).over(wcum),
-            )
-        )
-        w10 = w.rowsBetween(-(WIDE_ROLL10 - 1), Window.currentRow)
-        w20 = w.rowsBetween(-(WIDE_ROLL20 - 1), Window.currentRow)
-        w10_m = F.avg(tll).over(w10)
-        w10_m2 = F.avg(tll * tll).over(w10)
-        u = (
-            u.withColumn("roll_mean_text_len_10", F.avg(tl).over(w10))
-            .withColumn("roll_min_text_len_10", F.min(tl).over(w10).cast("double"))
-            .withColumn("roll_max_text_len_10", F.max(tl).over(w10).cast("double"))
-            .withColumn("roll_sum_text_len_10", F.sum(tl).over(w10).cast("long"))
-            # bounded growth frames — context rows supply the history,
-            # so the local chains reproduce the global ones exactly
-            .withColumn("lag4_text_len_delta", (tl - F.lag(tl, 4).over(w)).cast("double"))
-            .withColumn("lag5_text_len_delta", (tl - F.lag(tl, 5).over(w)).cast("double"))
-            .withColumn(
-                "accel_text_len",
-                (tll - 2 * F.lag(tll).over(w) + F.lag(tll, 2).over(w)).cast("double"),
-            )
-            .withColumn("pct_change_text_len", F.when(lagtl > 0, (tl - lagtl) / lagtl))
-            .withColumn("roll_mean_text_len_20", F.avg(tl).over(w20))
-            .withColumn("roll_min_text_len_20", F.min(tl).over(w20).cast("double"))
-            .withColumn("roll_max_text_len_20", F.max(tl).over(w20).cast("double"))
-            .withColumn("roll_sum_text_len_20", F.sum(tl).over(w20).cast("long"))
-            .withColumn(
-                "roll_std_text_len_10",
-                F.sqrt(F.greatest(F.lit(0.0), w10_m2 - w10_m * w10_m)),
-            )
-            .withColumn("gap_roll_max_10", F.max(F.col("lag1_ts_gap_s")).over(w10))
-            .withColumn(
-                "gap_roll_mean_10",
-                F.sum("_gap_us").over(w10) / F.count("_gap_us").over(w10) / F.lit(1e6),
-            )
-            .withColumn(
-                "zscore_roll_text_len_5",
-                F.when(
-                    w5_m2 - w5_m * w5_m > 0, (tll - w5_m) / F.sqrt(w5_m2 - w5_m * w5_m)
-                ).otherwise(F.lit(0.0)),
-            )
-            # local partials for the new stitched running features
-            # (masked to real rows; the first real row's gap reaches the
-            # true predecessor through the context margin)
-            .withColumn(
-                "_lc_gmax",
-                F.max(F.when(is_real, F.col("lag1_ts_gap_s"))).over(wcum),
-            )
-            .withColumn(
-                "_lc_gsum",
-                F.sum(F.when(is_real, F.col("_gap_us"))).over(wcum).cast("long"),
-            )
-            .withColumn(
-                "_lc_hg",
-                F.sum(
-                    F.when(is_real & (F.col("lag1_ts_gap_s") > 3600), 1).otherwise(0)
+        l1.update(
+            {
+                "gap_roll_max_5": F.max(F.col("lag1_ts_gap_s")).over(w5),
+                "gap_roll_min_5": F.min(F.col("lag1_ts_gap_s")).over(w5),
+                "gap_roll_mean_5": F.sum("_gap_us").over(w5)
+                / F.count("_gap_us").over(w5)
+                / F.lit(1e6),
+                "gap_roll_max_10": F.max(F.col("lag1_ts_gap_s")).over(w10),
+                "gap_roll_min_10": F.min(F.col("lag1_ts_gap_s")).over(w10),
+                "gap_roll_mean_10": F.sum("_gap_us").over(w10)
+                / F.count("_gap_us").over(w10)
+                / F.lit(1e6),
+                "_local_start": F.last(
+                    F.when(F.col("_sb") == 1, us_e), ignorenulls=True
+                ).over(wcum),
+                "_lc_gmax": F.max(F.when(is_real, F.col("lag1_ts_gap_s"))).over(
+                    wcum
+                ),
+                "_lc_gsum": F.sum(F.when(is_real, F.col("_gap_us")))
+                .over(wcum)
+                .cast("long"),
+                "_lc_hg": F.sum(
+                    F.when(
+                        is_real & (F.col("lag1_ts_gap_s") > 3600), 1
+                    ).otherwise(0)
                 )
                 .over(wcum)
                 .cast("long"),
-            )
-            .withColumn(
-                "_lc_tset",
-                F.sum(F.when(is_real & F.col("tool").isNotNull(), 1).otherwise(0))
+                "_lc_rc": F.sum(F.when(is_real, F.col("role_changed")).otherwise(0))
                 .over(wcum)
                 .cast("long"),
-            )
-            # row-local composites: identical expressions as the plain
-            # path (imported), so parity holds by construction
-            .withColumns(wide_local_exprs())
-        )
-        # within-chunk session text-len cum (same carry as _local_tis,
-        # with sums instead of counts) — staged on _lc_tlen
-        u = u.withColumn(
-            "_local_sess_tlen",
-            F.col("_lc_tlen")
-            - F.coalesce(
-                F.last(
-                    F.when(F.col("_sb") == 1, F.col("_lc_tlen") - tll), ignorenulls=True
-                ).over(wcum),
-                F.lit(0),
-            ),
-        )
-        # ---- growth tier 4a: bounded frames (identical expressions to
-        # windows._wide_exprs; context rows supply the history) ----
-        w4a = w.rowsBetween(-1, 0)
-        w4b = w.rowsBetween(-4, -3)
-        wtrap = w.rowsBetween(-3, 0)
-        wr900 = (
-            Window.partitionBy("conv_id", "_tgt")
-            .orderBy(F.col("_usq"))
-            .rangeBetween(-900 * 1_000_000, 0)
-        )
-        wr60 = (
-            Window.partitionBy("conv_id", "_tgt")
-            .orderBy(F.col("_usq"))
-            .rangeBetween(-RATE_WINDOW_S * 1_000_000, 0)
-        )
-        w20_m = F.avg(tll).over(w20)
-        w20_m2 = F.avg(tll * tll).over(w20)
-        gl = F.least(F.col("_gap_us"), F.lit(3_600_000_000))
-        gms_cap = ((gl - gl % 1000) / 1000).cast("long")
-        gms_sess = ((F.col("_gap_us") - F.col("_gap_us") % 1000) / 1000).cast("long")
-        u = (
-            u.withColumn(
-                "_trap_w",
-                F.when(
-                    F.col("_gap_us").isNotNull(), (tll + F.lag(tll).over(w)) * gms_cap
+                "roll_role_changes_10": F.sum("role_changed")
+                .over(w10)
+                .cast("long"),
+                "wing_auc_4": F.sum("_trap_w").over(wtrap) / F.lit(2000.0),
+                # within-chunk session text-len cum (same carry as
+                # _local_tis, with sums instead of counts)
+                "_local_sess_tlen": F.col("_lc_tlen")
+                - F.coalesce(
+                    F.last(
+                        F.when(F.col("_sb") == 1, F.col("_lc_tlen") - tll),
+                        ignorenulls=True,
+                    ).over(wcum),
+                    F.lit(0),
                 ),
-            )
-            .withColumn(
-                "_trap_s",
-                F.when(
-                    (F.col("_sb") == 0) & F.col("_gap_us").isNotNull(),
-                    (tll + F.lag(tll).over(w)) * gms_sess,
-                ),
-            )
-            .withColumn("gap_roll_min_5", F.min(F.col("lag1_ts_gap_s")).over(w5))
-            .withColumn("gap_roll_min_10", F.min(F.col("lag1_ts_gap_s")).over(w10))
-            .withColumn(
-                "gap_roll_range_5", F.col("gap_roll_max_5") - F.col("gap_roll_min_5")
-            )
-            .withColumn(
-                "lag2_ts_gap_s",
-                (us_e - F.lag(us_e, 2).over(w)).cast("double") / F.lit(1e6),
-            )
-            .withColumn(
-                "lag3_ts_gap_s",
-                (us_e - F.lag(us_e, 3).over(w)).cast("double") / F.lit(1e6),
-            )
-            .withColumn(
-                "lag6_text_len_delta", (tl - F.lag(tl, 6).over(w)).cast("double")
-            )
-            .withColumn(
-                "lag7_text_len_delta", (tl - F.lag(tl, 7).over(w)).cast("double")
-            )
-            .withColumn(
-                "roll_assistant_rate_10",
-                F.sum((F.col("role") == "assistant").cast("int")).over(w10)
-                / F.count(F.lit(1)).over(w10),
-            )
-            .withColumn(
-                "roll_tool_rate_10",
-                F.sum(F.col("tool").isNotNull().cast("int")).over(w10)
-                / F.count(F.lit(1)).over(w10),
-            )
-            .withColumn(
-                "roll_role_changes_10", F.sum("role_changed").over(w10).cast("long")
-            )
-            .withColumn(
-                "roll_range_text_len_10",
-                F.col("roll_max_text_len_10") - F.col("roll_min_text_len_10"),
-            )
-            .withColumn(
-                "roll_range_text_len_20",
-                F.col("roll_max_text_len_20") - F.col("roll_min_text_len_20"),
-            )
-            .withColumn(
-                "roll_std_text_len_20",
-                F.sqrt(F.greatest(F.lit(0.0), w20_m2 - w20_m * w20_m)),
-            )
-            .withColumn(
-                "zscore_roll_text_len_10",
-                F.when(
-                    w10_m2 - w10_m * w10_m > 0,
-                    (tll - w10_m) / F.sqrt(w10_m2 - w10_m * w10_m),
-                ).otherwise(F.lit(0.0)),
-            )
-            .withColumn("wing_auc_4", F.sum("_trap_w").over(wtrap) / F.lit(2000.0))
-            .withColumn(
-                "wing_asym_5",
-                (F.sum(tll).over(w4a) - F.sum(tll).over(w4b)).cast("double"),
-            )
+            }
         )
-        # ---- growth tier 4b locals: session-scoped partials over
-        # (conv, chunk, local-session) — same exchange, one more sort
-        # key. Rows before the chunk's first boundary (_local_sid == 0)
-        # get the open-session carry joined in from the summary. ----
+    u = u.withColumns(l1)
+    if wide:
+        # ---- session-scoped partials over (conv, chunk, local-session)
+        # — same exchange, one more sort key, ONE node. Rows before the
+        # chunk's first boundary (_local_sid == 0) get the open-session
+        # carry joined in from the summary. ----
         wsl = Window.partitionBy("conv_id", "_tgt", "_local_sid").orderBy(
             "ts", "turn_idx"
         )
         wslc = wsl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        u = (
-            u.withColumn(
-                "_lc_rc",
-                F.sum(F.when(is_real, F.col("role_changed")).otherwise(0))
-                .over(wcum)
-                .cast("long"),
-            )
-            .withColumn(
-                "_lc_empty",
-                F.sum(F.when(is_real & (tl == 0), 1).otherwise(0))
-                .over(wcum)
-                .cast("long"),
-            )
-            .withColumn(
-                "_lc_long",
-                F.sum(F.when(is_real & (tl > 500), 1).otherwise(0))
-                .over(wcum)
-                .cast("long"),
-            )
-            .withColumn("_ls_max", F.max(F.when(is_real, tl)).over(wslc).cast("int"))
-            .withColumn("_ls_min", F.min(F.when(is_real, tl)).over(wslc).cast("int"))
-            .withColumn(
-                "_ls_gmax",
-                F.max(
-                    F.when(is_real & (F.col("_sb") == 0), F.col("lag1_ts_gap_s"))
+        u = u.withColumns(
+            {
+                "_ls_max": F.max(F.when(is_real, tl)).over(wslc).cast("int"),
+                "_ls_min": F.min(F.when(is_real, tl)).over(wslc).cast("int"),
+                "_ls_gmax": F.max(
+                    F.when(
+                        is_real & (F.col("_sb") == 0), F.col("lag1_ts_gap_s")
+                    )
                 ).over(wslc),
-            )
-            .withColumn(
-                "_ls_tlen2",
-                F.sum(F.when(is_real, tll * tll).otherwise(0)).over(wslc).cast("long"),
-            )
-            .withColumn("_ls_trap", F.sum(F.when(is_real, F.col("_trap_s"))).over(wslc))
+                "_ls_tlen2": F.sum(F.when(is_real, tll * tll).otherwise(0))
+                .over(wslc)
+                .cast("long"),
+                "_ls_trap": F.sum(F.when(is_real, F.col("_trap_s"))).over(wslc),
+            }
         )
+        # row-local composites + calendar locals: identical expressions
+        # as the plain path (imported), so parity holds by construction
+        u = u.withColumns(
+            {
+                "day_of_week": F.dayofweek("ts").cast("int"),
+                "hour_of_day": F.hour("ts").cast("int"),
+                "minute_of_hour": F.minute("ts").cast("int"),
+                "is_assistant": (F.col("role") == "assistant").cast("int"),
+                "is_system": (F.col("role") == "system").cast("int"),
+                "is_tool": (F.col("role") == "tool").cast("int"),
+                "is_user": (F.col("role") == "user").cast("int"),
+                "is_weekend": F.dayofweek("ts").isin(1, 7).cast("int"),
+                "log1p_text_len": F.log1p(tl),
+                "sigmoid_text_len": F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-(tl - 200) / F.lit(80.0))),
+                "turn_frac_day": (us_e % F.lit(86_400_000_000)).cast("double")
+                / F.lit(86_400_000_000.0),
+                "gap_roll_range_5": F.col("gap_roll_max_5")
+                - F.col("gap_roll_min_5"),
+            }
+        )
+        u = u.withColumns(wide_local_exprs())
     # time-range family LAST, in one contiguous us-ordered run (single
     # sort for every rangeBetween frame — mirrors windows._wide_exprs)
     wrange = (
@@ -674,14 +608,24 @@ def _featurize_hot(
     )
     u = u.withColumn("rate_60s", F.count(F.lit(1)).over(wrange).cast("double"))
     if wide:
-        u = (
-            u.withColumn("rate_300s", F.count(F.lit(1)).over(wr300).cast("double"))
-            .withColumn("text_sum_300s", F.sum(tl).over(wr300).cast("long"))
-            .withColumn("rate_3600s", F.count(F.lit(1)).over(wr3600).cast("double"))
-            .withColumn("text_sum_3600s", F.sum(tl).over(wr3600).cast("long"))
-            .withColumn("rate_900s", F.count(F.lit(1)).over(wr900).cast("double"))
-            .withColumn("text_sum_900s", F.sum(tl).over(wr900).cast("long"))
-            .withColumn("text_sum_60s", F.sum(tl).over(wr60).cast("long"))
+        def _wrr(seconds):
+            return (
+                Window.partitionBy("conv_id", "_tgt")
+                .orderBy(F.col("_usq"))
+                .rangeBetween(-seconds * 1_000_000, 0)
+            )
+        wr300, wr3600 = _wrr(WIDE_RATE_S), _wrr(WIDE_RATE_MAX_S)
+        wr900, wr60 = _wrr(900), _wrr(RATE_WINDOW_S)
+        u = u.withColumns(
+            {
+                "rate_300s": F.count(F.lit(1)).over(wr300).cast("double"),
+                "text_sum_300s": F.sum(tl).over(wr300).cast("long"),
+                "rate_3600s": F.count(F.lit(1)).over(wr3600).cast("double"),
+                "text_sum_3600s": F.sum(tl).over(wr3600).cast("long"),
+                "rate_900s": F.count(F.lit(1)).over(wr900).cast("double"),
+                "text_sum_900s": F.sum(tl).over(wr900).cast("long"),
+                "text_sum_60s": F.sum(tl).over(wr60).cast("long"),
+            }
         )
     local = u.filter(is_real).drop("_ctx")
 

@@ -82,6 +82,32 @@ def test_feature_vector_wide_single_exchange(spark):
     assert len(df.columns) == 183
 
 
+def test_window_pass_budget(spark, transcripts_sdf):
+    """Layering regression guard: window expressions are batched into
+    dependency layers, so the number of WindowExec passes (each a full
+    partition scan with a row copy) and Sorts must stay at the layered
+    minimum — base 4 windows / 2 sorts, the 175-column wide tier 7
+    windows / 3 sorts (W0, W1 + base layers, session family, range
+    family). A withColumn-per-feature regression reads as dozens of
+    nodes here (the pre-layering plan had 38 windows / 16 sorts)."""
+    c = _op_counts(_formatted(spark, featurize_expr(transcripts_sdf)))
+    assert c.get("Window", 99) <= 4 and c.get("Sort", 99) <= 2, c
+    c = _op_counts(_formatted(spark, featurize_expr(transcripts_sdf, wide=True)))
+    assert c.get("Window", 99) <= 8 and c.get("Sort", 99) <= 3, c
+
+
+def test_flagship_window_pass_budget(spark):
+    """Same guard for the 183-column events flagship (batched staging
+    layers + one mega-select): one exchange, <= 8 window passes."""
+    from astrospectro_spark.queries import q_feature_vector_wide
+
+    c = _op_counts(
+        _formatted(spark, q_feature_vector_wide(spark, "/root/testdata/sf0.001"))
+    )
+    assert c.get("Exchange", 0) == 1, c
+    assert c.get("Window", 99) <= 8 and c.get("Sort", 99) <= 3, c
+
+
 def test_minhash_band_exchange_carries_ids_only(spark, documents_sdf):
     """The LSH band-bucket join must shuffle (band_id, band_hash, id)
     only — the shingle arrays are re-attached AFTER candidate-pair

@@ -43,16 +43,18 @@ def featurize_pdf(
     text = g["text"].fillna("")
     text_len = text.str.len().to_numpy().astype(np.int64)
 
-    out = pd.DataFrame(
-        {
-            "conv_id": g["conv_id"],
-            "turn_idx": g["turn_idx"].astype("int32"),
-            "role": g["role"],
-            "text": g["text"],
-            "tool": g["tool"],
-            "ts": g["ts"],
-        }
-    )
+    # columns accumulate in a plain dict — ONE DataFrame build at the
+    # end. This kernel is also the applyInPandas grouped path, where a
+    # per-column DataFrame insert costs a frame copy each (pandas
+    # fragmentation): dict-accumulation is ~10x faster per group.
+    out: dict = {
+        "conv_id": g["conv_id"],
+        "turn_idx": g["turn_idx"].astype("int32"),
+        "role": g["role"],
+        "text": g["text"],
+        "tool": g["tool"],
+        "ts": g["ts"],
+    }
     gap_us = np.diff(ts_us, prepend=ts_us[:1])
     gap_s_arr = gap_us.astype(np.float64) / 1e6
     gap_s_arr[0] = np.nan
@@ -61,14 +63,15 @@ def featurize_pdf(
     lag_delta[0] = np.nan
 
     session_id = np.cumsum(np.nan_to_num(gap_s_arr, nan=0.0) > gap_s).astype(np.int32)
-    # row_number within (conv, session)
-    turn_in_session = np.ones(len(g), dtype=np.int32)
+    # row_number within (conv, session): index minus the running
+    # maximum of session-start indices (vectorized — a Python loop here
+    # dominated the grouped-path kernel time)
+    idx0 = np.arange(len(g), dtype=np.int64)
+    is_start = np.ones(len(g), dtype=bool)
     if len(g) > 1:
-        same = session_id[1:] == session_id[:-1]
-        run = 1
-        for i in range(1, len(g)):
-            run = run + 1 if same[i - 1] else 1
-            turn_in_session[i] = run
+        is_start[1:] = session_id[1:] != session_id[:-1]
+    start_idx = np.maximum.accumulate(np.where(is_start, idx0, 0))
+    turn_in_session = (idx0 - start_idx + 1).astype(np.int32)
 
     tool_backfill = g["tool"].ffill()
 
@@ -122,10 +125,10 @@ def featurize_pdf(
         out["log1p_text_len"] = np.log1p(text_len.astype(np.float64))
         out["minute_of_hour"] = g["ts"].dt.minute.to_numpy().astype("int32")
         out["pct_assistant_so_far"] = (
-            out["cum_count_assistant"].to_numpy().astype(np.float64) / n_run
+            np.asarray(out["cum_count_assistant"]).astype(np.float64) / n_run
         )
         out["pct_tool_so_far"] = (
-            out["cum_count_tool"].to_numpy().astype(np.float64) / n_run
+            np.asarray(out["cum_count_tool"]).astype(np.float64) / n_run
         )
         rv = [None if pd.isna(x) else x for x in g["role"].tolist()]
         prev_rv = [None] + rv[:-1]
@@ -186,7 +189,7 @@ def featurize_pdf(
         out["turn_frac_day"] = (ts_us % 86_400_000_000).astype(np.float64) / 86_400_000_000.0
         out["turn_idx_conv"] = n_run.astype("int32")
         out["turn_rate_session"] = turn_in_session.astype(np.float64) / (
-            out["session_elapsed_s"].to_numpy() + 1.0
+            np.asarray(out["session_elapsed_s"]) + 1.0
         )
         # ---- growth: bounded frames ----
         for kk in (4, 5):
@@ -250,12 +253,12 @@ def featurize_pdf(
             (ts_us - ts_us[0]) / 86_400_000_000
         ).astype("int64")
         out["cum_mean_text_len"] = ctl / n_run
-        out["pct_user_so_far"] = out["cum_count_user"].to_numpy().astype(np.float64) / n_run
+        out["pct_user_so_far"] = np.asarray(out["cum_count_user"]).astype(np.float64) / n_run
         out["pct_system_so_far"] = (
-            out["cum_count_system"].to_numpy().astype(np.float64) / n_run
+            np.asarray(out["cum_count_system"]).astype(np.float64) / n_run
         )
         out["pct_tool_set_so_far"] = (
-            out["cum_tool_set"].to_numpy().astype(np.float64) / n_run
+            np.asarray(out["cum_tool_set"]).astype(np.float64) / n_run
         )
         rmax = np.maximum.accumulate(text_len)
         rmin = np.minimum.accumulate(text_len)
@@ -266,7 +269,7 @@ def featurize_pdf(
             )
         out["sess_frac_of_turns"] = turn_in_session.astype(np.float64) / n_run
         out["turn_rate_conv"] = n_run.astype(np.float64) / (
-            out["time_since_start_s"].to_numpy() + 1.0
+            np.asarray(out["time_since_start_s"]) + 1.0
         )
         # 10-row rolls
         out["roll_mean_text_len_10"] = s.rolling(10, min_periods=1).mean().to_numpy()
@@ -387,7 +390,7 @@ def featurize_pdf(
             pd.Series(gap_s_arr).rolling(10, min_periods=1).min().to_numpy()
         )
         out["gap_roll_range_5"] = (
-            out["gap_roll_max_5"].to_numpy() - out["gap_roll_min_5"].to_numpy()
+            np.asarray(out["gap_roll_max_5"]) - np.asarray(out["gap_roll_min_5"])
         )
         for kk in (2, 3):
             dd = (ts_us - np.roll(ts_us, kk)).astype(np.float64) / 1e6
@@ -409,16 +412,16 @@ def featurize_pdf(
         out["roll_assistant_rate_10"] = (cs_a[idx + 1] - cs_a[lo10]) / cnt10
         cs_t = np.concatenate([[0], np.cumsum(tool_set.astype(np.int64))])
         out["roll_tool_rate_10"] = (cs_t[idx + 1] - cs_t[lo10]) / cnt10
-        rc = out["role_changed"].to_numpy().astype(np.int64)
+        rc = np.asarray(out["role_changed"]).astype(np.int64)
         cs_rc = np.concatenate([[0], np.cumsum(rc)])
         out["roll_role_changes_10"] = (cs_rc[idx + 1] - cs_rc[lo10]).astype("int64")
         out["roll_range_text_len_10"] = (
-            out["roll_max_text_len_10"].to_numpy()
-            - out["roll_min_text_len_10"].to_numpy()
+            np.asarray(out["roll_max_text_len_10"])
+            - np.asarray(out["roll_min_text_len_10"])
         )
         out["roll_range_text_len_20"] = (
-            out["roll_max_text_len_20"].to_numpy()
-            - out["roll_min_text_len_20"].to_numpy()
+            np.asarray(out["roll_max_text_len_20"])
+            - np.asarray(out["roll_min_text_len_20"])
         )
         w20m = s.rolling(20, min_periods=1).mean().to_numpy()
         w20m2 = (s * s).rolling(20, min_periods=1).mean().to_numpy()
@@ -490,7 +493,7 @@ def featurize_pdf(
         lead_gap[-1] = np.nan
         out["label_lead1_text_len"] = lead_len
         out["label_lead1_ts_gap_s"] = lead_gap
-    return out
+    return pd.DataFrame(out)
 
 
 def oracle_features(transcripts: pd.DataFrame, **kw) -> pd.DataFrame:

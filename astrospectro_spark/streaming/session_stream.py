@@ -167,16 +167,20 @@ def stateful_featurize(stream_df: DataFrame, gap_s: float = 1800.0):
     )
 
 
-def stream_featurize(stream_df: DataFrame, out_path: str, checkpoint: str):
+def stream_featurize(
+    stream_df: DataFrame, out_path: str, checkpoint: str, wide: bool = False
+):
     """Micro-batch featurization: each increment runs the batch engine
     and appends to the features table — exactly-once via checkpoint +
-    idempotent paths."""
+    idempotent paths. ``wide=True`` emits the full 175-column locked
+    wide tier per micro-batch (same layered single-exchange plan as the
+    batch path)."""
     from astrospectro_spark.engine.windows import featurize_expr
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        featurize_expr(batch_df).withColumn(
+        featurize_expr(batch_df, wide=wide).withColumn(
             "batch_id", F.lit(batch_id)
         ).write.mode("append").parquet(out_path)
 

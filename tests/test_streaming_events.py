@@ -59,6 +59,37 @@ def test_stream_featurize_foreachbatch(spark, transcripts_pdf, tmp_path):
     assert "session_id" in feats.columns and "batch_id" in feats.columns
 
 
+def test_stream_featurize_wide_matches_batch(spark, transcripts_pdf, tmp_path):
+    """wide=True micro-batch featurization: a single AvailableNow batch
+    must reproduce the batch engine's full 175-column wide tier
+    bit-for-bit (one increment == whole input, so every running/session
+    feature is comparable)."""
+    from astrospectro_spark.engine.windows import (
+        FEATURE_COLS,
+        KEY_COLS,
+        WIDE_FEATURE_COLS,
+        featurize_expr,
+    )
+    from astrospectro_spark.streaming import stream_featurize
+
+    from .conftest import assert_frames_match
+
+    src = str(tmp_path / "wsrc")
+    out = str(tmp_path / "wout")
+    ckpt = str(tmp_path / "wckpt")
+    spark.createDataFrame(transcripts_pdf).write.parquet(src)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_featurize(stream, out, ckpt, wide=True).start()
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).drop("batch_id").toPandas()
+    assert sorted(got.columns) == sorted(KEY_COLS + FEATURE_COLS + WIDE_FEATURE_COLS)
+    want = featurize_expr(spark.read.parquet(src), wide=True).toPandas()
+    assert_frames_match(
+        got, want, ["conv_id", "ts", "turn_idx"], rtol=0.0, atol=0.0
+    )
+
+
 def test_stateful_featurize_matches_batch(spark, transcripts_pdf, tmp_path):
     """applyInPandasWithState running featurizer: cumulative features
     carried across micro-batches must equal the batch engine. Input is

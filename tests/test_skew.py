@@ -97,3 +97,46 @@ def test_salted_only_mega_conv_hot(spark, transcripts_sdf, transcripts_pdf):
     ).toPandas()
     plain = featurize_expr(transcripts_sdf).toPandas()
     assert_frames_match(salted, plain, SORT, rtol=0.0, atol=0.0)
+
+
+def test_session_stitch_adversarial_boundaries(spark):
+    """Session-family stitch (group-carry: carry_out lags into the next
+    chunk) under adversarial shapes: adjacent session boundaries,
+    multiple boundary-free chunks inside one open session (the carry
+    must accumulate across >1 chunk), duplicate timestamps at chunk
+    cut points, a single-turn conversation, and an all-equal-ts
+    conversation. Tiny chunk_target forces ~10 chunks through the
+    120-turn conversation."""
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    t0 = pd.Timestamp("2025-03-01 12:00:00")
+    # conv a: engineered gap pattern
+    gaps = [10.0] * 120
+    gaps[17] = 2000.0  # boundary
+    gaps[18] = 2500.0  # ADJACENT boundary (1-row session)
+    gaps[55] = 4000.0  # boundary after a long boundary-free stretch
+    gaps[30] = 0.0     # duplicate ts pair mid-session
+    gaps[56] = 0.0     # duplicate ts right after a boundary
+    ts = t0 + pd.to_timedelta(np.cumsum([0.0] + gaps[1:]), unit="s")
+    for i in range(120):
+        rows.append(("conv-a", i, "user" if i % 2 else "assistant",
+                     "x" * ((i * 37) % 700), "grep" if i % 7 == 0 else None, ts[i]))
+    # conv b: single turn
+    rows.append(("conv-b", 0, "system", "solo", None, t0))
+    # conv c: all rows share one timestamp (turn_idx tiebreak only)
+    for i in range(25):
+        rows.append(("conv-c", i, "user", "y" * (i % 50), None, t0))
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    sdf = spark.createDataFrame(pdf)
+    salted = featurize_salted(
+        sdf, hot_threshold=5, chunk_target_rows=13, wide=True
+    ).toPandas()
+    plain = featurize_expr(sdf, wide=True).toPandas()
+    assert_frames_match(salted, plain, SORT, rtol=0.0, atol=0.0)
+    # the fixture really exercised multi-chunk open sessions
+    one = plain[plain.conv_id == "conv-a"]
+    assert one["session_id"].nunique() == 4

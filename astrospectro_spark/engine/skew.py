@@ -343,6 +343,37 @@ def _featurize_hot(
     w10_m2 = F.avg(tll * tll).over(w10)
     w20_m = F.avg(tll).over(w20)
     w20_m2 = F.avg(tll * tll).over(w20)
+    # ---- time-range family FIRST, while the row is narrow: one
+    # contiguous us-ordered run (single sort for every rangeBetween
+    # frame — mirrors windows._wide_exprs). The rate frame is the
+    # FEATURE's window (60s); margin_us is the context-copy horizon,
+    # which may be wider (wide tier's 3600s range). ----
+    wrange = (
+        Window.partitionBy("conv_id", "_tgt")
+        .orderBy(F.col("_usq"))
+        .rangeBetween(-rate_window_s * 1_000_000, 0)
+    )
+    u = u.withColumn("rate_60s", F.count(F.lit(1)).over(wrange).cast("double"))
+    if wide:
+        def _wrr(seconds):
+            return (
+                Window.partitionBy("conv_id", "_tgt")
+                .orderBy(F.col("_usq"))
+                .rangeBetween(-seconds * 1_000_000, 0)
+            )
+        wr300, wr3600 = _wrr(WIDE_RATE_S), _wrr(WIDE_RATE_MAX_S)
+        wr900, wr60 = _wrr(900), _wrr(RATE_WINDOW_S)
+        u = u.withColumns(
+            {
+                "rate_300s": F.count(F.lit(1)).over(wr300).cast("double"),
+                "text_sum_300s": F.sum(tl).over(wr300).cast("long"),
+                "rate_3600s": F.count(F.lit(1)).over(wr3600).cast("double"),
+                "text_sum_3600s": F.sum(tl).over(wr3600).cast("long"),
+                "rate_900s": F.count(F.lit(1)).over(wr900).cast("double"),
+                "text_sum_900s": F.sum(tl).over(wr900).cast("long"),
+                "text_sum_60s": F.sum(tl).over(wr60).cast("long"),
+            }
+        )
     # ---- W0: every window over raw columns, ONE batched projection →
     # one WindowExec pass (same layering discipline as
     # windows._wide_exprs). Context rows are a contiguous suffix of the
@@ -597,36 +628,6 @@ def _featurize_hot(
             }
         )
         u = u.withColumns(wide_local_exprs())
-    # time-range family LAST, in one contiguous us-ordered run (single
-    # sort for every rangeBetween frame — mirrors windows._wide_exprs)
-    wrange = (
-        # the rate frame is the FEATURE's window (60s) — margin_us is the
-        # context-copy horizon, which may be wider (wide tier's 3600s range)
-        Window.partitionBy("conv_id", "_tgt")
-        .orderBy(F.col("_usq"))
-        .rangeBetween(-rate_window_s * 1_000_000, 0)
-    )
-    u = u.withColumn("rate_60s", F.count(F.lit(1)).over(wrange).cast("double"))
-    if wide:
-        def _wrr(seconds):
-            return (
-                Window.partitionBy("conv_id", "_tgt")
-                .orderBy(F.col("_usq"))
-                .rangeBetween(-seconds * 1_000_000, 0)
-            )
-        wr300, wr3600 = _wrr(WIDE_RATE_S), _wrr(WIDE_RATE_MAX_S)
-        wr900, wr60 = _wrr(900), _wrr(RATE_WINDOW_S)
-        u = u.withColumns(
-            {
-                "rate_300s": F.count(F.lit(1)).over(wr300).cast("double"),
-                "text_sum_300s": F.sum(tl).over(wr300).cast("long"),
-                "rate_3600s": F.count(F.lit(1)).over(wr3600).cast("double"),
-                "text_sum_3600s": F.sum(tl).over(wr3600).cast("long"),
-                "rate_900s": F.count(F.lit(1)).over(wr900).cast("double"),
-                "text_sum_900s": F.sum(tl).over(wr900).cast("long"),
-                "text_sum_60s": F.sum(tl).over(wr60).cast("long"),
-            }
-        )
     local = u.filter(is_real).drop("_ctx")
 
     # ---- 5. stitch: per-chunk summary → exclusive prefix offsets

@@ -446,6 +446,21 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s) -> DataFrame:
     run_min = F.min(tl).over(wcum).cast("int")
     act_us = F.coalesce(F.sum("_gap_us").over(wcum), F.lit(0)).cast("long")
 
+    # ---- RANGE first: every rangeBetween frame while the row is
+    # narrow (merges with the caller's rate_60s node — same spec,
+    # adjacent, independent) ----
+    df = df.withColumns(
+        {
+            "rate_300s": F.count(F.lit(1)).over(wr).cast("double"),
+            "text_sum_300s": F.sum(tl).over(wr).cast("long"),
+            "rate_3600s": F.count(F.lit(1)).over(wr36).cast("double"),
+            "text_sum_3600s": F.sum(tl).over(wr36).cast("long"),
+            "rate_900s": F.count(F.lit(1)).over(wr900).cast("double"),
+            "text_sum_900s": F.sum(tl).over(wr900).cast("long"),
+            "text_sum_60s": F.sum(tl).over(wr60).cast("long"),
+        }
+    )
+
     # ---- W0: one WindowExec over (conv)(ts, turn_idx) frames ----
     df = df.withColumns(
         {
@@ -651,19 +666,6 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s) -> DataFrame:
         }
     )
 
-    # ---- RANGE: every rangeBetween frame, one node ----
-    df = df.withColumns(
-        {
-            "rate_300s": F.count(F.lit(1)).over(wr).cast("double"),
-            "text_sum_300s": F.sum(tl).over(wr).cast("long"),
-            "rate_3600s": F.count(F.lit(1)).over(wr36).cast("double"),
-            "text_sum_3600s": F.sum(tl).over(wr36).cast("long"),
-            "rate_900s": F.count(F.lit(1)).over(wr900).cast("double"),
-            "text_sum_900s": F.sum(tl).over(wr900).cast("long"),
-            "text_sum_60s": F.sum(tl).over(wr60).cast("long"),
-        }
-    )
-
     # ---- final locals: calendar + composite battery (no windows) ----
     df = df.withColumns(
         {
@@ -795,23 +797,24 @@ def featurize_expr(
             )
         ).cast("int"),
     )  # _sb/_rn/_gap_us stay staged: _wide_exprs consumes them
-    cols = key_cols + FEATURE_COLS
-    if wide:
-        df = _wide_exprs(df, w, wcum, us, roll_rows, gap_s)
-        cols = cols + WIDE_FEATURE_COLS
     # rolling turn-rate on the REAL time axis: count of turns with
     # ts in [t-60s, t] — a rangeBetween frame on integer microseconds.
     # Note: rows sharing this exact ts are included regardless of
     # turn_idx (time-based semantics; equal-ts is not leakage).
-    # Range windows are computed LAST, clustered with the wide tier's
-    # other us-ordered frames, so Catalyst needs one Sort for the whole
-    # range family instead of re-sorting on every ordering switch.
+    # The range family runs EARLY, while the row is still narrow: its
+    # us-Sort materializes ~20 fields per row here, vs ~100 if it ran
+    # after the wide tier (the wide tier's own range batch merges into
+    # this node — same partition/order spec, adjacent, independent).
     wrange = (
         Window.partitionBy("conv_id")
         .orderBy(F.col("_usq"))
         .rangeBetween(-rate_window_s * 1_000_000, 0)
     )
     df = df.withColumn("rate_60s", F.count(F.lit(1)).over(wrange).cast("double"))
+    cols = key_cols + FEATURE_COLS
+    if wide:
+        df = _wide_exprs(df, w, wcum, us, roll_rows, gap_s)
+        cols = cols + WIDE_FEATURE_COLS
     if include_labels:
         df = df.withColumn(
             "label_lead1_text_len", F.lead("text_len").over(w).cast("double")

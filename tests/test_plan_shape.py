@@ -87,13 +87,16 @@ def test_window_pass_budget(spark, transcripts_sdf):
     dependency layers, so the number of WindowExec passes (each a full
     partition scan with a row copy) and Sorts must stay at the layered
     minimum — base 4 windows / 2 sorts, the 175-column wide tier 7
-    windows / 3 sorts (W0, W1 + base layers, session family, range
-    family). A withColumn-per-feature regression reads as dozens of
-    nodes here (the pre-layering plan had 38 windows / 16 sorts)."""
+    windows / 4 sorts (base layers, range family EARLY while the row is
+    narrow, W0/W1, session family). The early range family costs one
+    extra ts-re-sort but the 4 sorts materialize {narrow, narrow,
+    medium, wide} rows vs 3 x {narrow, wide, wide} — ~35% fewer sort
+    bytes. A withColumn-per-feature regression reads as dozens of nodes
+    here (the pre-layering plan had 38 windows / 16 sorts)."""
     c = _op_counts(_formatted(spark, featurize_expr(transcripts_sdf)))
     assert c.get("Window", 99) <= 4 and c.get("Sort", 99) <= 2, c
     c = _op_counts(_formatted(spark, featurize_expr(transcripts_sdf, wide=True)))
-    assert c.get("Window", 99) <= 8 and c.get("Sort", 99) <= 3, c
+    assert c.get("Window", 99) <= 8 and c.get("Sort", 99) <= 4, c
 
 
 def test_flagship_window_pass_budget(spark):

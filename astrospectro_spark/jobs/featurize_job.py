@@ -47,8 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--wide",
         action="store_true",
-        help="emit the 60-feature wide tier (rolling std / gap rolls / "
-        "running zscore / per-session cums / composite battery) in "
+        help="emit the full 175-column locked wide tier (rolling "
+        "std/range frames, gap rolls, running zscore/std, per-session "
+        "max/min/std/AUC, wing integrals, proxy composites) in "
         "addition to the 12 base features",
     )
     return p

@@ -1,0 +1,53 @@
+"""Zero-row inputs through every engine entry point.
+
+A partition-pruned read that matches nothing (date filter past the data,
+a bucket with no rows, an anti-joined resume queue that drained) hands the
+engine a 0-row DataFrame with the full schema. Every path must plan and
+execute without error and preserve the documented row semantics:
+
+- featurize / sessionize: 0 rows out, full output schema intact.
+- as-of join: one output row PER ANCHOR (anchors are the probe side), so
+  empty turns -> every anchor row survives with NULL carried values, and
+  empty anchors -> 0 rows.
+"""
+
+from astrospectro_spark.engine.asof import asof_join, asof_join_salted
+from astrospectro_spark.engine.skew import featurize_salted, release_cached
+from astrospectro_spark.engine.windows import featurize_expr, sessionize
+
+
+def test_featurize_empty_keeps_schema(spark, transcripts_sdf):
+    out = featurize_expr(transcripts_sdf.limit(0), wide=True)
+    full = featurize_expr(transcripts_sdf, wide=True)
+    assert out.count() == 0
+    assert out.columns == full.columns
+
+
+def test_featurize_salted_empty(spark, transcripts_sdf):
+    out = featurize_salted(transcripts_sdf.limit(0))
+    try:
+        assert out.count() == 0
+    finally:
+        release_cached(out)
+
+
+def test_sessionize_empty(spark, transcripts_sdf):
+    assert sessionize(transcripts_sdf.limit(0)).count() == 0
+
+
+def test_asof_empty_turns_yields_null_row_per_anchor(
+    spark, transcripts_sdf, anchors_sdf
+):
+    out = asof_join(transcripts_sdf.limit(0), anchors_sdf)
+    rows = out.collect()
+    assert len(rows) == anchors_sdf.count()
+    assert all(r["asof_turn_idx"] is None for r in rows)
+
+
+def test_asof_empty_anchors_yields_no_rows(spark, transcripts_sdf, anchors_sdf):
+    assert asof_join(transcripts_sdf, anchors_sdf.limit(0)).count() == 0
+
+
+def test_asof_salted_both_empty(spark, transcripts_sdf, anchors_sdf):
+    out = asof_join_salted(transcripts_sdf.limit(0), anchors_sdf.limit(0))
+    assert out.count() == 0

@@ -51,3 +51,41 @@ def test_asof_empty_anchors_yields_no_rows(spark, transcripts_sdf, anchors_sdf):
 def test_asof_salted_both_empty(spark, transcripts_sdf, anchors_sdf):
     out = asof_join_salted(transcripts_sdf.limit(0), anchors_sdf.limit(0))
     assert out.count() == 0
+
+
+def test_dedup_family_empty(spark, documents_sdf):
+    from astrospectro_spark.functions.dedup import (
+        exact_dup_groups,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    empty = documents_sdf.limit(0)
+    assert exact_dup_groups(empty).count() == 0
+    assert ngram_jaccard_pairs(empty).count() == 0
+    assert minhash_lsh_candidates(empty).count() == 0
+
+
+def test_text_battery_empty_keeps_schema(spark, documents_sdf):
+    from astrospectro_spark.functions.text import (
+        with_fingerprint,
+        with_lang_id,
+        with_quality,
+        with_token_stats,
+    )
+
+    def battery(df):
+        return with_fingerprint(with_lang_id(with_quality(with_token_stats(df))))
+
+    out = battery(documents_sdf.limit(0))
+    assert out.count() == 0
+    assert out.columns == battery(documents_sdf).columns
+
+
+def test_similarity_empty_sides(spark):
+    from astrospectro_spark.functions.similarity import cosine_topk, lsh_cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert cosine_topk(emb.limit(3), emb.limit(0)).count() == 0
+    assert cosine_topk(emb.limit(0), emb.limit(100)).count() == 0
+    assert lsh_cosine_topk(emb.limit(3), emb.limit(0)).count() == 0

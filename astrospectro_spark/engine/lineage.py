@@ -146,15 +146,19 @@ class FeatureRun:
         lineage records."""
         marker = os.path.join(self.stage_dir, "_SUCCESS")
         fp_path = os.path.join(self.stage_dir, "_fingerprint.json")
+        # Explicit read schema: a 0-row input (drained resume queue,
+        # partition-pruned read matching nothing) writes a staged dir
+        # with no data files, and schema inference on it throws.
+        staged_schema = turns.withColumn("_bucket", _bucket_col(self.n_buckets)).schema
         if not os.path.exists(marker):
             turns.withColumn("_bucket", _bucket_col(self.n_buckets)).write.mode(
                 "overwrite"
             ).partitionBy("_bucket").parquet(self.stage_dir)
-            staged = self.spark.read.parquet(self.stage_dir)
+            staged = self.spark.read.schema(staged_schema).parquet(self.stage_dir)
             with open(fp_path, "w") as f:
                 json.dump({"input_rows": staged.count()}, f)
             return staged
-        staged = self.spark.read.parquet(self.stage_dir)
+        staged = self.spark.read.schema(staged_schema).parquet(self.stage_dir)
         if os.path.exists(fp_path):
             with open(fp_path) as f:
                 want = json.load(f)["input_rows"]

@@ -53,6 +53,20 @@ def test_asof_salted_both_empty(spark, transcripts_sdf, anchors_sdf):
     assert out.count() == 0
 
 
+def test_feature_run_empty_commits_and_resumes(spark, transcripts_sdf, tmp_path):
+    from astrospectro_spark.engine.lineage import FeatureRun
+
+    empty = transcripts_sdf.limit(0)
+    fr = FeatureRun(spark, str(tmp_path / "out"), n_buckets=4)
+    assert fr.run(empty) == {
+        "buckets_total": 4,
+        "buckets_skipped": 0,
+        "buckets_processed": 4,
+    }
+    assert fr.run(empty)["buckets_skipped"] == 4
+    assert fr.result().count() == 0
+
+
 def test_dedup_family_empty(spark, documents_sdf):
     from astrospectro_spark.functions.dedup import (
         exact_dup_groups,

@@ -167,6 +167,95 @@ def stateful_featurize(stream_df: DataFrame, gap_s: float = 1800.0):
     )
 
 
+ASOF_ENRICH_SCHEMA = (
+    "conv_id string, anchor_id long, anchor_ts timestamp, "
+    "asof_turn_idx int, asof_role string, tool_backfill string, "
+    "asof_gap_s double"
+)
+_ASOF_STATE_SCHEMA = "last_us long, last_idx int, last_role string, last_tool string"
+
+
+def stateful_asof_enrich(stream_df: DataFrame):
+    """Streaming point-in-time enrichment: the online-feature-store form
+    of the batch as-of join (``engine/asof.py``).
+
+    Input is ONE interleaved feed per conversation with a ``kind``
+    discriminator — ``'turn'`` rows carry (turn_idx, role, tool, ts),
+    ``'anchor'`` rows carry (anchor_id, ts). State per conv_id is the
+    latest turn seen plus the running tool backfill (4 scalars, O(1) —
+    the whole-history as-of collapses to "remember the frontier", which
+    is why the streaming form exists). Each anchor is answered from
+    state at arrival: the latest turn with ts <= anchor_ts, boundary
+    inclusive, ties broken by largest turn_idx — identical law to the
+    batch oracle (reference analog: best-match-per-objid,
+    src/tools/gaia_crossmatcher.py:735-744; unmatched anchors get
+    NULLs, :808-809).
+
+    Ordering: within a micro-batch the group's rows are materialized
+    and sorted by (ts, turns-before-anchors, turn_idx), so a turn at
+    exactly anchor_ts is visible to that anchor (boundary-inclusive
+    law). Cross-batch order is the source's contract, as in
+    :func:`stateful_featurize` — including that a same-ts turn/anchor
+    pair must not be split turn-last across micro-batches.
+
+    Emits anchor rows only (append mode); turns only advance state.
+    """
+
+    def fn(key, pdf_iter, state):
+        import pandas as _pd
+
+        (conv_id,) = key
+        if state.exists:
+            last_us, last_idx, last_role, last_tool = state.get
+        else:
+            last_us, last_idx, last_role, last_tool = (-1, -1, None, None)
+        out = []
+        chunks = [p for p in pdf_iter if len(p)]
+        if chunks:
+            g = _pd.concat(chunks, ignore_index=True)
+            # same-ts turns apply BEFORE anchors (boundary inclusive)
+            g["_k"] = (g["kind"] == "anchor").astype(int)
+            g = g.sort_values(["ts", "_k", "turn_idx"], kind="mergesort")
+            us_arr = g["ts"].to_numpy("datetime64[us]").astype("int64")
+            for i, r in enumerate(g.itertuples(index=False)):
+                us = int(us_arr[i])
+                if r.kind == "turn":
+                    last_us, last_idx, last_role = us, int(r.turn_idx), r.role
+                    if r.tool is not None and not _pd.isna(r.tool):
+                        last_tool = r.tool
+                else:
+                    matched = last_us >= 0 and last_us <= us
+                    out.append(
+                        {
+                            "conv_id": conv_id,
+                            "anchor_id": int(r.anchor_id),
+                            "anchor_ts": r.ts,
+                            "asof_turn_idx": last_idx if matched else None,
+                            "asof_role": last_role if matched else None,
+                            "tool_backfill": last_tool if matched else None,
+                            "asof_gap_s": (us - last_us) / 1e6 if matched else None,
+                        }
+                    )
+        state.update((last_us, last_idx, last_role, last_tool))
+        yield _pd.DataFrame(
+            out,
+            columns=[
+                "conv_id", "anchor_id", "anchor_ts", "asof_turn_idx",
+                "asof_role", "tool_backfill", "asof_gap_s",
+            ],
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream_df.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=ASOF_ENRICH_SCHEMA,
+        stateStructType=_ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_featurize(
     stream_df: DataFrame, out_path: str, checkpoint: str, wide: bool = False
 ):

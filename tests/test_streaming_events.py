@@ -261,3 +261,100 @@ def test_associate_ref_events(spark, transcripts_sdf):
         assert (got["turn_idx"].to_numpy() == want["turn_idx"].to_numpy()).all()
     wide = flatten_event_matches(m, sorted(pdf.event_name.unique()))
     assert wide.count() > 0
+
+
+def test_stateful_asof_enrich_matches_oracle(spark, transcripts_pdf, anchors_pdf, tmp_path):
+    """Streaming point-in-time enrichment: an interleaved turn/anchor
+    feed delivered as 3 ts-ordered micro-batches must answer every
+    anchor exactly like the batch as-of oracle (boundary inclusive,
+    largest-turn_idx tiebreak, NULLs for unmatched / before-first-turn
+    anchors), with tool_backfill equal to an as-of over the ffilled
+    tool column."""
+    import time
+
+    import numpy as np
+
+    from astrospectro_spark.oracle.pandas_oracle import oracle_asof
+    from astrospectro_spark.streaming import stateful_asof_enrich
+
+    turns = transcripts_pdf[["conv_id", "turn_idx", "role", "tool", "ts"]].copy()
+    turns["kind"] = "turn"
+    turns["anchor_id"] = pd.array([None] * len(turns), dtype="Int64")
+    anchors = anchors_pdf[["conv_id", "anchor_id", "anchor_ts"]].rename(
+        columns={"anchor_ts": "ts"}
+    )
+    anchors["kind"] = "anchor"
+    anchors["turn_idx"] = pd.array([None] * len(anchors), dtype="Int32")
+    anchors["role"] = pd.array([None] * len(anchors), dtype="string")
+    anchors["tool"] = pd.array([None] * len(anchors), dtype="string")
+    cols = ["conv_id", "kind", "turn_idx", "role", "tool", "ts", "anchor_id"]
+    feed = pd.concat([turns[cols], anchors[cols]], ignore_index=True)
+    feed["turn_idx"] = feed["turn_idx"].astype("Int32")
+    # global order: ts, turns before anchors at equal ts, then turn_idx —
+    # so a same-ts turn/anchor pair is never split anchor-first
+    feed["_k"] = (feed["kind"] == "anchor").astype(int)
+    feed = (
+        feed.sort_values(["ts", "_k", "turn_idx"], kind="mergesort")
+        .drop(columns="_k")
+        .reset_index(drop=True)
+    )
+
+    src = tmp_path / "asof_feed"
+    src.mkdir()
+    cuts = [0, len(feed) // 3, 2 * len(feed) // 3, len(feed)]
+    for i in range(3):
+        part = feed.iloc[cuts[i] : cuts[i + 1]]
+        p = str(src / f"part-{i:03d}.parquet")
+        spark.createDataFrame(part).coalesce(1).write.mode("overwrite").parquet(p)
+        time.sleep(1.1)
+
+    schema = (
+        "conv_id string, kind string, turn_idx int, role string, "
+        "tool string, ts timestamp, anchor_id long"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "part-*.parquet"))
+    )
+    q = (
+        stateful_asof_enrich(stream)
+        .writeStream.format("memory")
+        .queryName("asof_enrich_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.sql("select * from asof_enrich_stream")
+        .toPandas()
+        .sort_values("anchor_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+    want = oracle_asof(
+        transcripts_pdf, anchors_pdf, value_cols=["turn_idx", "role", "ts"]
+    )
+    # backfill law: as-of over the per-conversation ffilled tool column
+    tf = transcripts_pdf.sort_values(["ts", "turn_idx"], kind="mergesort").copy()
+    tf["tool"] = tf.groupby("conv_id")["tool"].ffill()
+    want_bf = oracle_asof(tf, anchors_pdf, value_cols=["tool", "ts"])
+
+    assert len(got) == len(anchors_pdf)
+    assert got["anchor_id"].tolist() == want["anchor_id"].tolist()
+
+    def vals(s):
+        return s.astype(object).where(s.notna(), None).tolist()
+
+    assert vals(got["asof_turn_idx"]) == vals(want["asof_turn_idx"])
+    assert vals(got["asof_role"]) == vals(want["asof_role"])
+    assert vals(got["tool_backfill"]) == vals(want_bf["asof_tool"])
+    gap_want = (
+        want["anchor_ts"].to_numpy("datetime64[us]").astype(np.int64)
+        - want["asof_ts"].to_numpy("datetime64[us]").astype(np.float64)
+    ) / 1e6
+    gap_want[want["asof_ts"].isna().to_numpy()] = np.nan
+    assert np.allclose(
+        got["asof_gap_s"].to_numpy(float), gap_want, rtol=0, atol=0, equal_nan=True
+    )

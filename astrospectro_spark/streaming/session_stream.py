@@ -175,9 +175,19 @@ ASOF_ENRICH_SCHEMA = (
 _ASOF_STATE_SCHEMA = "last_us long, last_idx int, last_role string, last_tool string"
 
 
-def stateful_asof_enrich(stream_df: DataFrame):
+def stateful_asof_enrich(stream_df: DataFrame, retention: str | None = None):
     """Streaming point-in-time enrichment: the online-feature-store form
     of the batch as-of join (``engine/asof.py``).
+
+    ``retention`` (e.g. ``"7 days"``) bounds TOTAL state at scale: a
+    conversation idle longer than that past the watermark is evicted
+    (event-time timeout), and later anchors for it answer NULL — the
+    standard feature-store TTL contract. Requires the caller to set
+    ``stream_df.withWatermark("ts", ...)`` upstream. ``None`` keeps
+    state forever (exact parity with the batch as-of at any horizon;
+    fine when live conversations are bounded — state is 4 scalars per
+    conv, so even 10^9 live convs hold ~100 GB cluster-wide, but an
+    unbounded conv_id universe needs the TTL).
 
     Input is ONE interleaved feed per conversation with a ``kind``
     discriminator — ``'turn'`` rows carry (turn_idx, role, tool, ts),
@@ -201,10 +211,37 @@ def stateful_asof_enrich(stream_df: DataFrame):
     Emits anchor rows only (append mode); turns only advance state.
     """
 
+    retention_ms = None
+    if retention is not None:
+        import re as _re
+
+        m = _re.fullmatch(
+            r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", retention
+        )
+        if not m:
+            raise ValueError(f"unparseable retention: {retention!r}")
+        retention_ms = int(m.group(1)) * {
+            "second": 1_000,
+            "minute": 60_000,
+            "hour": 3_600_000,
+            "day": 86_400_000,
+        }[m.group(2)]
+
     def fn(key, pdf_iter, state):
         import pandas as _pd
 
         (conv_id,) = key
+        empty = _pd.DataFrame(
+            columns=[
+                "conv_id", "anchor_id", "anchor_ts", "asof_turn_idx",
+                "asof_role", "tool_backfill", "asof_gap_s",
+            ]
+        )
+        if state.hasTimedOut:
+            # idle past retention: evict — later anchors answer NULL
+            state.remove()
+            yield empty
+            return
         if state.exists:
             last_us, last_idx, last_role, last_tool = state.get
         else:
@@ -237,6 +274,13 @@ def stateful_asof_enrich(stream_df: DataFrame):
                         }
                     )
         state.update((last_us, last_idx, last_role, last_tool))
+        if retention_ms is not None:
+            # evict when the WATERMARK passes last-activity + retention;
+            # must be set strictly beyond the current watermark
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(last_us // 1000 + retention_ms, wm + 1)
+            )
         yield _pd.DataFrame(
             out,
             columns=[
@@ -252,7 +296,11 @@ def stateful_asof_enrich(stream_df: DataFrame):
         outputStructType=ASOF_ENRICH_SCHEMA,
         stateStructType=_ASOF_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if retention_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

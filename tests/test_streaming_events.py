@@ -358,3 +358,96 @@ def test_stateful_asof_enrich_matches_oracle(spark, transcripts_pdf, anchors_pdf
     assert np.allclose(
         got["asof_gap_s"].to_numpy(float), gap_want, rtol=0, atol=0, equal_nan=True
     )
+
+
+def _asof_ttl_feed(tmp_path, spark):
+    """4 mtime-ordered micro-batch files exercising state TTL.
+
+    t0: A and B each post a turn. B stays active (batches 2-3) which
+    advances the watermark past A's retention horizon, so A is evicted
+    during batch 3 (no data for A in that batch — timeout fires). Batch
+    4 carries one anchor each: A must answer NULL (evicted), B must
+    match its latest turn.
+    """
+    import time
+
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+    H = pd.Timedelta(hours=1)
+
+    def row(conv, kind, ts, idx=None, tool=None, aid=None):
+        return {
+            "conv_id": conv, "kind": kind, "turn_idx": idx,
+            "role": "user" if kind == "turn" else None, "tool": tool,
+            "ts": ts, "anchor_id": aid,
+        }
+
+    batches = [
+        [row("A", "turn", t0, idx=0, tool="exec"), row("B", "turn", t0, idx=0)],
+        [row("B", "turn", t0 + 3 * H, idx=1)],
+        [row("B", "turn", t0 + 3 * H + pd.Timedelta(minutes=10), idx=2, tool="search")],
+        [row("A", "anchor", t0 + 5 * H, aid=0), row("B", "anchor", t0 + 5 * H, aid=1)],
+    ]
+    src = tmp_path / "ttl_feed"
+    src.mkdir()
+    schema = (
+        "conv_id string, kind string, turn_idx int, role string, "
+        "tool string, ts timestamp, anchor_id long"
+    )
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows)
+        sdf = spark.createDataFrame(pdf, schema=schema)
+        sdf.coalesce(1).write.mode("overwrite").parquet(str(src / f"part-{i:03d}.parquet"))
+        time.sleep(1.1)
+    return str(src / "part-*.parquet"), schema
+
+
+def _run_asof_ttl(spark, pattern, schema, name, retention):
+    from astrospectro_spark.streaming import stateful_asof_enrich
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pattern)
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        stateful_asof_enrich(stream, retention=retention)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return (
+        spark.sql(f"select * from {name}")
+        .toPandas()
+        .sort_values("anchor_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_asof_enrich_state_ttl_evicts_idle_conversations(spark, tmp_path):
+    pattern, schema = _asof_ttl_feed(tmp_path, spark)
+    got = _run_asof_ttl(spark, pattern, schema, "asof_ttl", retention="1 hour")
+    assert len(got) == 2
+    a, b = got.iloc[0], got.iloc[1]
+    # A idle > 1h behind the watermark: evicted, anchor answers NULL
+    assert a["conv_id"] == "A" and pd.isna(a["asof_turn_idx"])
+    assert pd.isna(a["tool_backfill"])
+    # B stayed active: answered from its latest turn
+    assert b["conv_id"] == "B" and b["asof_turn_idx"] == 2
+    assert b["tool_backfill"] == "search"
+
+
+def test_asof_enrich_no_ttl_keeps_state_forever(spark, tmp_path):
+    """Same feed, retention=None: A's anchor is answered from the turn
+    4 batches earlier — proving the TTL (not late-row filtering or a
+    state bug) caused the NULL above."""
+    pattern, schema = _asof_ttl_feed(tmp_path, spark)
+    got = _run_asof_ttl(spark, pattern, schema, "asof_nottl", retention=None)
+    assert len(got) == 2
+    a, b = got.iloc[0], got.iloc[1]
+    assert a["conv_id"] == "A" and a["asof_turn_idx"] == 0
+    assert a["tool_backfill"] == "exec"
+    assert b["asof_turn_idx"] == 2

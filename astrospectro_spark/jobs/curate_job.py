@@ -1,0 +1,203 @@
+"""Packaged training-data curation pipeline over the documents table.
+
+Chains the first-class data-pipeline operators into one spark-submit
+job (the documents sibling of ``featurize_job``):
+
+    exact dedup (fingerprint groupBy)
+      → near-dup removal (MinHash+LSH band join, exact-Jaccard verify)
+      → language filter (marker-word lang-ID)
+      → quality filter (punct/digit/stopword composite score)
+      → token-count bounds
+
+    spark-submit --py-files astrospectro_spark.zip curate_job.py \\
+        --input /data/documents.parquet --output /data/curated \\
+        [--near-dup-threshold 0.5 | --no-near-dup] \\
+        [--langs en,fr] [--min-quality 0.5] \\
+        [--min-tokens 1] [--max-tokens 1000000]
+
+Scale shape: every stage is expression-only DataFrame code. The two
+dedup stages are the only shuffles — a fingerprint groupBy and the
+LSH band-bucket join that carries ``(band_id, band_hash, id)`` alone
+(see ``functions/dedup.py``); the three filters are free riders on
+the final scan. The per-stage funnel census costs ZERO extra passes:
+stage verdicts are boolean flag columns aggregated via
+``DataFrame.observe`` (CollectMetrics) during the single output
+write, so a 100 TB run reads its input for dedup and writes kept
+rows exactly once, report included.
+
+Near-dup removal contract: a document is dropped when it has a
+verified near-duplicate with a SMALLER doc_id (pairwise canonical-
+min, NOT transitive closure — at 10^12 docs a connected-components
+pass is a separate iterative job; the pairwise rule is deterministic,
+one extra join, and what large dedup pipelines ship by default).
+
+Reference analog: the reference curates its input catalog by
+quality/SNR gates before featurization (SURVEY §2.2 F5-F12,
+src/pipeline/feature_engineering.py quality masks); this job is the
+same funnel recast for LLM training documents.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="astrospectro_spark curate job")
+    p.add_argument("--input", required=True, help="documents parquet path")
+    p.add_argument("--output", required=True, help="output dir (curated/ + report.json)")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--near-dup-threshold", type=float, default=0.5,
+                   help="Jaccard threshold for near-dup removal")
+    p.add_argument("--no-near-dup", action="store_true",
+                   help="skip the MinHash+LSH near-dup stage")
+    p.add_argument("--langs", default=None,
+                   help="comma-separated allow-list of predicted languages")
+    p.add_argument("--min-quality", type=float, default=None,
+                   help="minimum composite quality_score in [0,1]")
+    p.add_argument("--min-tokens", type=int, default=None)
+    p.add_argument("--max-tokens", type=int, default=None)
+    p.add_argument("--master", default=None)
+    return p
+
+
+def curate(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near_dup_threshold: float | None = 0.5,
+    langs: list[str] | None = None,
+    min_quality: float | None = None,
+    min_tokens: int | None = None,
+    max_tokens: int | None = None,
+):
+    """Return (flagged_df, keep_expr): the input with one boolean
+    verdict column per stage plus derived feature columns, and the
+    conjunction to filter on. Pure plan construction — no actions."""
+    from pyspark.sql import functions as F
+
+    from astrospectro_spark.functions.dedup import (
+        exact_dup_groups,
+        minhash_lsh_candidates,
+    )
+    from astrospectro_spark.functions.text import (
+        with_lang_id,
+        with_quality,
+        with_token_stats,
+    )
+
+    flagged = docs
+
+    # --- exact dedup: keeper = min id per normalized-text fingerprint
+    exact = exact_dup_groups(docs, text_col, id_col).select(
+        id_col, F.col("is_duplicate").alias("_exact_dup")
+    )
+    flagged = flagged.join(exact, id_col, "left")
+    flagged = flagged.withColumn(
+        "keep_exact", ~F.coalesce(F.col("_exact_dup"), F.lit(False))
+    ).drop("_exact_dup")
+
+    # --- near-dup: drop docs with a verified pair partner of smaller id.
+    # Run on exact-survivors only (duplicates would flood the buckets).
+    if near_dup_threshold is not None:
+        survivors = flagged.filter("keep_exact").select(id_col, text_col)
+        pairs = minhash_lsh_candidates(
+            survivors, text_col, id_col, verify_threshold=near_dup_threshold
+        )
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct().withColumn(
+            "_near_dup", F.lit(True)
+        )
+        flagged = flagged.join(losers, id_col, "left")
+        flagged = flagged.withColumn(
+            "keep_near",
+            F.col("keep_exact") & ~F.coalesce(F.col("_near_dup"), F.lit(False)),
+        ).drop("_near_dup")
+    else:
+        flagged = flagged.withColumn("keep_near", F.col("keep_exact"))
+
+    # --- expression-only filters (free riders on the final scan)
+    flagged = with_lang_id(flagged, text_col)
+    flagged = with_quality(flagged, text_col)
+    flagged = with_token_stats(flagged, text_col)
+
+    keep_lang = (
+        F.col("pred_lang").isin(list(langs)) if langs else F.lit(True)
+    )
+    keep_quality = (
+        (F.col("quality_score") >= float(min_quality))
+        if min_quality is not None
+        else F.lit(True)
+    )
+    keep_tokens = F.lit(True)
+    if min_tokens is not None:
+        keep_tokens = keep_tokens & (F.col("n_tokens") >= int(min_tokens))
+    if max_tokens is not None:
+        keep_tokens = keep_tokens & (F.col("n_tokens") <= int(max_tokens))
+
+    # cumulative verdicts: each stage count is a true funnel level
+    flagged = (
+        flagged.withColumn("keep_lang", F.col("keep_near") & keep_lang)
+        .withColumn("keep_quality", F.col("keep_lang") & keep_quality)
+        .withColumn("keep_tokens", F.col("keep_quality") & keep_tokens)
+        .withColumn("keep", F.col("keep_tokens"))
+    )
+    return flagged
+
+
+FUNNEL_STAGES = ["keep_exact", "keep_near", "keep_lang", "keep_quality", "keep_tokens", "keep"]
+
+
+def run(spark, args) -> dict:
+    """Execute: ONE write action carries both the curated table and the
+    funnel census (observe/CollectMetrics — no second pass)."""
+    import os
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(args.input)
+    flagged = curate(
+        docs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        near_dup_threshold=None if args.no_near_dup else args.near_dup_threshold,
+        langs=args.langs.split(",") if args.langs else None,
+        min_quality=args.min_quality,
+        min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens,
+    )
+    obs = Observation("curate_funnel")
+    metrics = [F.count(F.lit(1)).alias("n_input")] + [
+        F.sum(F.col(c).cast("long")).alias(c) for c in FUNNEL_STAGES
+    ]
+    out_path = os.path.join(args.output, "curated")
+    (
+        flagged.observe(obs, *metrics)
+        .filter("keep")
+        .drop(*FUNNEL_STAGES)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    report = {k: int(v) for k, v in obs.get.items()}
+    report["n_kept"] = report.pop("keep")
+    report_path = os.path.join(args.output, "report.json")
+    with open(report_path, "w") as f:
+        json.dump(report, f, indent=2, sort_keys=True)
+    return report
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from astrospectro_spark.session import get_spark
+
+    spark = get_spark(app_name="curate_job", master=args.master or "local[*]")
+    report = run(spark, args)
+    print(json.dumps(report, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,112 @@
+"""The packaged curation pipeline: funnel law, planted dups, report."""
+
+from __future__ import annotations
+
+import json
+import os
+from argparse import Namespace
+
+import pytest
+
+
+def _args(tmp_path, src, **kw):
+    base = dict(
+        input=src,
+        output=str(tmp_path / "out"),
+        id_col="doc_id",
+        text_col="text",
+        near_dup_threshold=0.5,
+        no_near_dup=False,
+        langs=None,
+        min_quality=None,
+        min_tokens=None,
+        max_tokens=None,
+        master=None,
+    )
+    base.update(kw)
+    return Namespace(**base)
+
+
+@pytest.fixture(scope="module")
+def planted_src(spark, tmp_path_factory):
+    """documents fixture + planted exact/near duplicates with known ids."""
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pdf = base.limit(60).toPandas()
+    mx = int(pdf["doc_id"].max())
+    exact_dup = pdf.iloc[[0]].assign(doc_id=mx + 1)  # byte-identical text
+    near = pdf.iloc[[1]].copy()
+    near["doc_id"] = mx + 2
+    near["text"] = near["text"].str.cat([" extra tail token"])  # high-jaccard
+    import pandas as pd
+
+    out = pd.concat([pdf, exact_dup, near], ignore_index=True)
+    src = str(tmp_path_factory.mktemp("curate") / "docs.parquet")
+    spark.createDataFrame(out).write.parquet(src)
+    return src, mx
+
+
+def test_funnel_counts_and_planted_dups(spark, planted_src, tmp_path):
+    from astrospectro_spark.jobs.curate_job import run
+
+    src, mx = planted_src
+    args = _args(tmp_path, src, min_quality=0.3, min_tokens=2)
+    report = run(spark, args)
+
+    # funnel is monotone non-increasing and consistent
+    assert report["n_input"] == 62
+    assert (
+        report["n_input"]
+        >= report["keep_exact"]
+        >= report["keep_near"]
+        >= report["keep_lang"]
+        >= report["keep_quality"]
+        >= report["keep_tokens"]
+        == report["n_kept"]
+    )
+    # the planted exact duplicate costs exactly one doc
+    assert report["keep_exact"] == 61
+    # the planted near-duplicate is caught by LSH+verify
+    assert report["keep_near"] <= 60
+
+    kept = spark.read.parquet(os.path.join(args.output, "curated"))
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert kept.count() == report["n_kept"]
+    assert mx + 1 not in kept_ids  # exact dup dropped (larger id)
+    assert mx + 2 not in kept_ids  # near dup dropped (larger id)
+    assert 0 in kept_ids or 1 in kept_ids  # keepers survive
+    # verdict flags are dropped from the output, features retained
+    assert "keep" not in kept.columns and "keep_exact" not in kept.columns
+    for c in ("pred_lang", "quality_score", "n_tokens"):
+        assert c in kept.columns
+
+    # report.json round-trips
+    with open(os.path.join(args.output, "report.json")) as f:
+        assert json.load(f) == report
+
+
+def test_no_near_dup_and_lang_filter(spark, planted_src, tmp_path):
+    from astrospectro_spark.jobs.curate_job import run
+
+    src, mx = planted_src
+    args = _args(tmp_path, src, no_near_dup=True, langs="en")
+    report = run(spark, args)
+    # near-dup stage disabled: level equals the exact-dedup level
+    assert report["keep_near"] == report["keep_exact"]
+    kept = spark.read.parquet(os.path.join(args.output, "curated"))
+    langs = {r.pred_lang for r in kept.select("pred_lang").distinct().collect()}
+    assert langs <= {"en"}
+    assert report["n_kept"] == kept.count()
+
+
+def test_curate_is_deterministic(spark, planted_src, tmp_path):
+    from astrospectro_spark.jobs.curate_job import run
+
+    src, _ = planted_src
+    r1 = run(spark, _args(tmp_path, src, output=str(tmp_path / "o1")))
+    r2 = run(spark, _args(tmp_path, src, output=str(tmp_path / "o2")))
+    assert r1 == r2
+    a = spark.read.parquet(str(tmp_path / "o1" / "curated"))
+    b = spark.read.parquet(str(tmp_path / "o2" / "curated"))
+    assert sorted(r.doc_id for r in a.select("doc_id").collect()) == sorted(
+        r.doc_id for r in b.select("doc_id").collect()
+    )

@@ -158,3 +158,64 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Bucketed embedding near-duplicate pairs (``id_a < id_b``,
+    ``cosine >= threshold``) — the at-scale sibling of the brute-force
+    all-pairs tier (``queries.q_embedding_neardup``).
+
+    Candidates must share a random-hyperplane bucket in at least one of
+    ``n_tables`` tables; exact cosine then verifies, so precision is
+    exact and only recall is approximate (byte-identical vectors hash
+    to identical signatures in every table — guaranteed recall for
+    exact copies; near-copies miss only when noise flips a
+    near-zero-projection sign bit in all tables).
+
+    Scale shape mirrors :func:`~astrospectro_spark.functions.dedup.
+    minhash_lsh_candidates`: the self-join shuffles ONLY
+    ``(table, sig, id)`` — 3 longs per row per table — and the wide
+    vectors are re-attached to the deduplicated candidate pairs
+    afterwards. At 10^9 vectors the bucket exchange stays ~100 GB
+    while a vector-carrying join would be tens of TB.
+    """
+    sigs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        _signature(F.col(vec_col), n_planes, t, dim).alias("sig"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "b.table", "b.sig")
+
+    a = sigs.select(F.col(id_col).alias("id_a"), "table", "sig")
+    b = sigs.select(F.col(id_col).alias("id_b"), "table", "sig")
+    cand = (
+        a.join(b, ["table", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    v = df.select(F.col(id_col), F.col(vec_col))
+    cand = cand.join(
+        v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")), "id_a"
+    ).join(v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")), "id_b")
+    return (
+        cand.withColumn("cosine", F.round(cosine_sim(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -5,6 +5,8 @@ job (the documents sibling of ``featurize_job``):
 
     exact dedup (fingerprint groupBy)
       → near-dup removal (MinHash+LSH band join, exact-Jaccard verify)
+      → embedding near-dup (optional: hyperplane-LSH self-join,
+        exact-cosine verify, via --embeddings)
       → language filter (marker-word lang-ID)
       → quality filter (punct/digit/stopword composite score)
       → token-count bounds
@@ -54,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Jaccard threshold for near-dup removal")
     p.add_argument("--no-near-dup", action="store_true",
                    help="skip the MinHash+LSH near-dup stage")
+    p.add_argument("--embeddings", default=None,
+                   help="optional embeddings parquet (id must equal --id-col "
+                   "values) for cosine near-dup removal")
+    p.add_argument("--embedding-id-col", default="vec_id")
+    p.add_argument("--embedding-vec-col", default="embedding")
+    p.add_argument("--embedding-threshold", type=float, default=0.95)
     p.add_argument("--langs", default=None,
                    help="comma-separated allow-list of predicted languages")
     p.add_argument("--min-quality", type=float, default=None,
@@ -69,6 +77,10 @@ def curate(
     id_col: str = "doc_id",
     text_col: str = "text",
     near_dup_threshold: float | None = 0.5,
+    embeddings=None,
+    embedding_id_col: str = "vec_id",
+    embedding_vec_col: str = "embedding",
+    embedding_threshold: float = 0.95,
     langs: list[str] | None = None,
     min_quality: float | None = None,
     min_tokens: int | None = None,
@@ -118,6 +130,28 @@ def curate(
     else:
         flagged = flagged.withColumn("keep_near", F.col("keep_exact"))
 
+    # --- embedding near-dup: bucketed hyperplane-LSH self-join; drop
+    # the larger id of each verified pair (same canonical-min contract)
+    if embeddings is not None:
+        from astrospectro_spark.functions.similarity import embedding_neardup_pairs
+
+        epairs = embedding_neardup_pairs(
+            embeddings,
+            id_col=embedding_id_col,
+            vec_col=embedding_vec_col,
+            threshold=embedding_threshold,
+        )
+        elosers = epairs.select(F.col("id_b").alias(id_col)).distinct().withColumn(
+            "_embed_dup", F.lit(True)
+        )
+        flagged = flagged.join(elosers, id_col, "left")
+        flagged = flagged.withColumn(
+            "keep_embed",
+            F.col("keep_near") & ~F.coalesce(F.col("_embed_dup"), F.lit(False)),
+        ).drop("_embed_dup")
+    else:
+        flagged = flagged.withColumn("keep_embed", F.col("keep_near"))
+
     # --- expression-only filters (free riders on the final scan)
     flagged = with_lang_id(flagged, text_col)
     flagged = with_quality(flagged, text_col)
@@ -139,7 +173,7 @@ def curate(
 
     # cumulative verdicts: each stage count is a true funnel level
     flagged = (
-        flagged.withColumn("keep_lang", F.col("keep_near") & keep_lang)
+        flagged.withColumn("keep_lang", F.col("keep_embed") & keep_lang)
         .withColumn("keep_quality", F.col("keep_lang") & keep_quality)
         .withColumn("keep_tokens", F.col("keep_quality") & keep_tokens)
         .withColumn("keep", F.col("keep_tokens"))
@@ -147,7 +181,10 @@ def curate(
     return flagged
 
 
-FUNNEL_STAGES = ["keep_exact", "keep_near", "keep_lang", "keep_quality", "keep_tokens", "keep"]
+FUNNEL_STAGES = [
+    "keep_exact", "keep_near", "keep_embed",
+    "keep_lang", "keep_quality", "keep_tokens", "keep",
+]
 
 
 def run(spark, args) -> dict:
@@ -164,6 +201,12 @@ def run(spark, args) -> dict:
         id_col=args.id_col,
         text_col=args.text_col,
         near_dup_threshold=None if args.no_near_dup else args.near_dup_threshold,
+        embeddings=(
+            spark.read.parquet(args.embeddings) if args.embeddings else None
+        ),
+        embedding_id_col=args.embedding_id_col,
+        embedding_vec_col=args.embedding_vec_col,
+        embedding_threshold=args.embedding_threshold,
         langs=args.langs.split(",") if args.langs else None,
         min_quality=args.min_quality,
         min_tokens=args.min_tokens,

@@ -17,6 +17,10 @@ def _args(tmp_path, src, **kw):
         text_col="text",
         near_dup_threshold=0.5,
         no_near_dup=False,
+        embeddings=None,
+        embedding_id_col="vec_id",
+        embedding_vec_col="embedding",
+        embedding_threshold=0.95,
         langs=None,
         min_quality=None,
         min_tokens=None,
@@ -110,3 +114,75 @@ def test_curate_is_deterministic(spark, planted_src, tmp_path):
     assert sorted(r.doc_id for r in a.select("doc_id").collect()) == sorted(
         r.doc_id for r in b.select("doc_id").collect()
     )
+
+
+def test_embedding_neardup_pairs_vs_brute_force(spark):
+    """Bucketed LSH pairs: precision exact (subset of brute force),
+    guaranteed recall on byte-identical vectors (equal signatures in
+    every table)."""
+    from pyspark.sql import functions as F
+
+    from astrospectro_spark.functions.similarity import (
+        cosine_sim,
+        embedding_neardup_pairs,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(150)
+    # plant two exact copies with fresh ids
+    mx = e.agg(F.max("vec_id")).first()[0]
+    copies = (
+        e.filter(F.col("vec_id").isin([0, 1]))
+        .withColumn("vec_id", F.col("vec_id") + mx + 1)
+    )
+    full = e.unionByName(copies)
+
+    got = embedding_neardup_pairs(full, threshold=0.9)
+    got_pairs = {(r.id_a, r.id_b) for r in got.collect()}
+
+    a = full.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = full.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_sim("va", "vb"), 6))
+        .filter(F.col("cosine") >= 0.9)
+    )
+    brute_pairs = {(r.id_a, r.id_b) for r in brute.collect()}
+
+    assert got_pairs <= brute_pairs          # exact-verify: no false positives
+    assert (0, mx + 1) in got_pairs          # exact copies always recalled
+    assert (1, mx + 2) in got_pairs
+
+
+def test_curate_with_embedding_stage(spark, planted_src, tmp_path):
+    """--embeddings removes the larger id of each cosine near-dup pair
+    and the funnel level sits between near-dup and lang."""
+    from pyspark.sql import functions as F
+
+    from astrospectro_spark.jobs.curate_job import run
+
+    src, mx = planted_src
+    # embeddings keyed to doc_id; docs 5 and 6 get identical vectors
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ids = spark.read.parquet(src).select("doc_id")
+    emb = ids.join(
+        base.withColumnRenamed("vec_id", "doc_id"), "doc_id", "inner"
+    ).select("doc_id", "embedding")
+    v5 = emb.filter("doc_id = 5").select("embedding").first()[0]
+    emb = emb.withColumn(
+        "embedding",
+        F.when(F.col("doc_id") == 6, F.array(*[F.lit(float(x)) for x in v5]))
+        .otherwise(F.col("embedding")),
+    )
+    epath = str(tmp_path / "emb.parquet")
+    emb.write.parquet(epath)
+
+    args = _args(
+        tmp_path, src, embeddings=epath, embedding_id_col="doc_id",
+        embedding_threshold=0.999,
+    )
+    report = run(spark, args)
+    assert report["keep_near"] >= report["keep_embed"] >= report["keep_lang"]
+    kept = spark.read.parquet(os.path.join(args.output, "curated"))
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 6 not in kept_ids and 5 in kept_ids

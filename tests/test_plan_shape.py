@@ -161,3 +161,26 @@ def test_small_dim_join_broadcasts(spark, transcripts_sdf):
     plan = _formatted(spark, associate_ref_events(sessionize(transcripts_sdf), ref))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_embedding_lsh_exchange_carries_no_vectors(spark):
+    """The hyperplane-LSH self-join must move (table, sig, id) only —
+    vectors are re-attached to deduplicated candidate pairs after the
+    bucket join, never riding a bucket exchange. Invariant holds for
+    both join strategies: no Exchange/BroadcastExchange block may carry
+    a signature AND a vector column."""
+    from astrospectro_spark.functions.similarity import embedding_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _formatted(spark, embedding_neardup_pairs(emb))
+    blocks = [
+        m.group(1)
+        for m in re.finditer(
+            r"^\(\d+\) (?:Broadcast)?Exchange\n(.*?)(?=^\(\d+\)|\Z)",
+            plan, re.M | re.S,
+        )
+    ]
+    sig_blocks = [b for b in blocks if re.search(r"\bsig\b", b)]
+    assert sig_blocks, "expected at least one bucket-key exchange in the plan"
+    for b in sig_blocks:
+        assert "embedding#" not in b, b

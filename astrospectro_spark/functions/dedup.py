@@ -176,18 +176,56 @@ def ngram_jaccard_pairs(
     return exact_pairs(small).unionByName(approx.select("id_a", "id_b", *bucket_cols, "jaccard"))
 
 
+_MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_coeffs(num_perm: int = 32) -> tuple[list[int], list[int]]:
+    """Literal universal-hash coefficients for the k permutations,
+    derived deterministically from md5 at plan-build time. Shared with
+    the DuckDB oracle (spliced in as list literals) so both engines run
+    the identical integer arithmetic."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    a = [1 + h(f"a|{k}") % (_MINHASH_P - 1) for k in range(1, num_perm + 1)]
+    b = [h(f"b|{k}") % _MINHASH_P for k in range(1, num_perm + 1)]
+    return a, b
+
+
 def minhash_signature(text_col: str = "text", num_perm: int = 32, ngram: int = 3) -> Column:
-    """MinHash signature: k independent permutations simulated by
-    salted md5 (``min over shingles of md5_hash60('k|' + shingle)``) —
-    an array of k BIGINT minima, reproducible in any engine."""
-    sh = shingles(text_col, ngram)
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(num_perm)),
-        lambda seed: F.array_min(
-            F.transform(
-                sh,
-                lambda s: md5_hash60(F.concat(seed.cast("string"), F.lit("|"), s)),
-            )
+    """MinHash signature: an array of k BIGINT minima, reproducible in
+    any engine.
+
+    Each shingle is hashed ONCE (md5 → 28-bit int); the k independent
+    permutations are integer universal hashes over that value,
+    ``(a_k*h + b_k) mod (2^31-1)`` with literal coefficients
+    (:func:`minhash_coeffs`). ``a_k < 2^31`` and ``h < 2^28`` keep the
+    product under 2^59 — exact in int64 in Spark, DuckDB, and Python
+    alike. The whole signature is ONE ``aggregate`` pass over the
+    shingle-hash array (element-wise running min via ``zip_with``), so
+    the md5 work is O(shingles) per row, not O(shingles × k) — the
+    k-salted-md5 formulation this replaces cost ~32× more and dominated
+    dedup runtime (string hashing per permutation)."""
+    a, b = minhash_coeffs(num_perm)
+    av = F.array(*[F.lit(x).cast("long") for x in a])
+    bv = F.array(*[F.lit(x).cast("long") for x in b])
+    hs = F.transform(
+        shingles(text_col, ngram),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"),
+    )
+    return F.aggregate(
+        hs,
+        F.array_repeat(F.lit(_MINHASH_P).cast("long"), num_perm),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(1), F.lit(num_perm)),
+            lambda m, k: F.least(
+                m,
+                (F.element_at(av, k.cast("int")) * h
+                 + F.element_at(bv, k.cast("int"))) % F.lit(_MINHASH_P),
+            ),
         ),
     )
 

@@ -998,10 +998,13 @@ WITH toks AS (
          ELSE [array_to_string(t, ' ')] END AS s
   FROM toks
 ), sig AS (
+  -- one md5 per shingle (28-bit), k integer universal hashes over it:
+  -- identical literal coefficients to minhash_coeffs() in Spark
   SELECT doc_id, s,
          list_transform(range(1, 33), k ->
            list_min(list_transform(s,
-             x -> ('0x' || substr(md5(k::VARCHAR || '|' || x), 1, 15))::BIGINT))) AS sig
+             x -> (MINHASH_A[k] * (('0x' || substr(md5(x), 1, 7))::BIGINT)
+                   + MINHASH_B[k]) % 2147483647))) AS sig
   FROM sh
 ), bands AS (
   SELECT doc_id, b AS band_id,
@@ -1188,3 +1191,17 @@ FROM r WHERE rank <= {k}
 
 ORACLE_SQL["savgol_smooth"] = _savgol_sql()
 ORACLE_SQL["cosine_topk_lsh"] = _lsh_cosine_sql()
+
+
+def _splice_minhash_coeffs(sql: str) -> str:
+    """Replace MINHASH_A / MINHASH_B markers with the literal
+    coefficient lists — single source of truth is minhash_coeffs()."""
+    from astrospectro_spark.functions.dedup import minhash_coeffs
+
+    a, b = minhash_coeffs(32)
+    return sql.replace("MINHASH_A", f"{list(a)}").replace(
+        "MINHASH_B", f"{list(b)}"
+    )
+
+
+ORACLE_SQL["minhash_lsh"] = _splice_minhash_coeffs(ORACLE_SQL["minhash_lsh"])

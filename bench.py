@@ -74,7 +74,23 @@ def main() -> None:
     _force(featurize_expr(turns.limit(1000)))
 
     from astrospectro_spark.engine.skew import featurize_salted, release_cached
+    from astrospectro_spark.jobs.curate_job import FUNNEL_STAGES, curate
     from astrospectro_spark.queries import q_feature_vector_wide
+
+    # repartition: the sf* documents table is ONE small parquet file →
+    # one input split; real tables arrive in thousands of splits. This
+    # spreads the shingle/minhash work across cores without changing
+    # the measured operator (the exchange is ~1.5 MB).
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(int(CPUS))
+
+    def _curate():
+        # the full packaged funnel: exact dedup + MinHash near-dup +
+        # lang/quality/token filters (one write-equivalent pass)
+        _force(
+            curate(docs, min_quality=0.3, min_tokens=2)
+            .filter("keep")
+            .drop(*FUNNEL_STAGES)
+        )
 
     def _salted():
         df = featurize_salted(turns, hot_threshold=100_000, chunk_target_rows=50_000)
@@ -100,6 +116,7 @@ def main() -> None:
         ("session_stats", lambda: _force(q_session_stats(spark, SF_DIR))),
         ("pricing_summary", lambda: _force(q_pricing_summary(spark, SF_DIR))),
         ("broadcast_enrich", lambda: _force(q_broadcast_enrich(spark, SF_DIR))),
+        ("curate_documents", _curate),
     ]
 
     # Steal-resistance (this host shows multi-minute CPU-steal episodes,

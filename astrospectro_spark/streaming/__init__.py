@@ -1,3 +1,4 @@
+from .curate_stream import stream_curate  # noqa: F401
 from .session_stream import (  # noqa: F401
     stateful_asof_enrich,
     stateful_featurize,

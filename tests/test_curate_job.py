@@ -6,6 +6,7 @@ import json
 import os
 from argparse import Namespace
 
+import pandas as pd
 import pytest
 
 
@@ -186,3 +187,66 @@ def test_curate_with_embedding_stage(spark, planted_src, tmp_path):
     kept = spark.read.parquet(os.path.join(args.output, "curated"))
     kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
     assert 6 not in kept_ids and 5 in kept_ids
+
+
+def test_stream_curate_dedups_within_watermark(spark, tmp_path):
+    """Streaming curation: a duplicate document arriving in a LATER
+    micro-batch (within the watermark horizon) is dropped; filters
+    match the batch funnel per row."""
+    import time
+
+    import numpy as np
+
+    from astrospectro_spark.streaming import stream_curate
+
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+    docs1 = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "a completely different document about the weather",
+                "x",  # fails min_tokens
+            ],
+            "ts": [t0, t0 + pd.Timedelta(minutes=1), t0 + pd.Timedelta(minutes=2)],
+        }
+    )
+    docs2 = pd.DataFrame(
+        {
+            "doc_id": np.array([10, 11], dtype=np.int64),
+            # byte-identical to doc 0 → dedup state must drop it
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "fresh content arriving in the second batch",
+            ],
+            "ts": [t0 + pd.Timedelta(minutes=10), t0 + pd.Timedelta(minutes=11)],
+        }
+    )
+    src = tmp_path / "stream_docs"
+    src.mkdir()
+    schema = "doc_id long, text string, ts timestamp"
+    for i, pdf in enumerate([docs1, docs2]):
+        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"part-{i:03d}.parquet"))
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "part-*.parquet"))
+    )
+    q = (
+        stream_curate(stream, watermark="1 hour", min_tokens=2)
+        .writeStream.format("memory")
+        .queryName("curate_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select doc_id from curate_stream").toPandas()
+    kept = set(got["doc_id"].tolist())
+    # 0 and 1 pass; 2 fails min_tokens; 10 is a cross-batch duplicate
+    # of 0 within the watermark; 11 is fresh
+    assert kept == {0, 1, 11}

@@ -250,3 +250,23 @@ def test_stream_curate_dedups_within_watermark(spark, tmp_path):
     # 0 and 1 pass; 2 fails min_tokens; 10 is a cross-batch duplicate
     # of 0 within the watermark; 11 is fresh
     assert kept == {0, 1, 11}
+
+
+def test_curate_is_partition_invariant(spark, planted_src, tmp_path):
+    """Funnel verdicts must not depend on input partitioning: keeper
+    selection (min-id), LSH pairs, and every filter are deterministic
+    functions of the data."""
+    from astrospectro_spark.jobs.curate_job import FUNNEL_STAGES, curate
+
+    src, _ = planted_src
+    docs = spark.read.parquet(src)
+
+    def verdicts(df):
+        rows = (
+            curate(df, min_quality=0.3, min_tokens=2)
+            .select("doc_id", *FUNNEL_STAGES)
+            .collect()
+        )
+        return sorted((r.doc_id, tuple(r[c] for c in FUNNEL_STAGES)) for r in rows)
+
+    assert verdicts(docs.repartition(7)) == verdicts(docs.repartition(3, "doc_id"))

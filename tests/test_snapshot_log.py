@@ -1,0 +1,132 @@
+"""Snapshot-log table semantics: atomic commits, time travel,
+overwrite-as-compaction, conflict detection, lineage audit trail.
+
+The Iceberg-shaped half of SURVEY §1.1.4 that the sandbox's missing
+runtime jar blocked; `engine/lineage.py` remains the bucket-resume
+engine, this locks the table-format commit semantics themselves."""
+
+from __future__ import annotations
+
+import pytest
+
+from astrospectro_spark.sources.snapshot_log import (
+    CommitConflict,
+    commit,
+    current_snapshot_id,
+    history,
+    read_table,
+)
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, lo, hi, part="p0"):
+    from pyspark.sql import functions as F
+
+    return spark.range(lo, hi).withColumn("part", F.lit(part))
+
+
+def test_append_and_time_travel(spark, table):
+    s1 = commit(table, _df(spark, 0, 10), "append")
+    s2 = commit(table, _df(spark, 10, 25), "append")
+    assert (s1, s2) == (1, 2)
+    assert current_snapshot_id(table) == 2
+    assert read_table(spark, table).count() == 25
+    # time travel: snapshot 1 is exactly the first append, forever
+    assert read_table(spark, table, snapshot_id=1).count() == 10
+    ids = {r.id for r in read_table(spark, table, snapshot_id=1).collect()}
+    assert ids == set(range(10))
+
+
+def test_overwrite_is_compaction(spark, table):
+    commit(table, _df(spark, 0, 10), "append")
+    commit(table, _df(spark, 10, 20), "append")
+    # dedup-rewrite: replace the live set with a filtered union
+    live = read_table(spark, table).filter("id % 2 = 0")
+    s3 = commit(table, live, "overwrite")
+    assert read_table(spark, table).count() == 10
+    assert {r.id % 2 for r in read_table(spark, table).collect()} == {0}
+    # pre-compaction state still readable (files are immutable)
+    assert read_table(spark, table, snapshot_id=2).count() == 20
+    assert history(table)[-1]["operation"] == "overwrite" and s3 == 3
+
+
+def test_conflict_detection(spark, table):
+    commit(table, _df(spark, 0, 5), "append")
+    base = current_snapshot_id(table)
+    commit(table, _df(spark, 5, 10), "append", expected_snapshot_id=base)
+    # a second writer still planning against `base` must NOT clobber
+    with pytest.raises(CommitConflict):
+        commit(table, _df(spark, 10, 15), "append", expected_snapshot_id=base)
+    # the losing writer's data files are orphans: readers never see them
+    assert read_table(spark, table).count() == 10
+
+
+def test_partition_pruning_and_lineage_summary(spark, table):
+    commit(table, _df(spark, 0, 10, "a"), "append", partition="a")
+    commit(table, _df(spark, 10, 30, "b"), "append", partition="b")
+    assert read_table(spark, table, partition="a").count() == 10
+    assert read_table(spark, table, partition="b").count() == 20
+    h = history(table)
+    assert [s["snapshot_id"] for s in h] == [1, 2]
+    assert h[0]["summary"]["n_rows"] == 10 and h[1]["summary"]["n_rows"] == 20
+    assert isinstance(h[0]["summary"]["checksum"], int)
+    assert h[1]["parent_id"] == 1
+
+
+def test_reader_never_sees_partial_state(spark, table):
+    """Readers resolve LATEST once: data files written for a commit
+    that has not (yet) swapped LATEST are invisible."""
+    commit(table, _df(spark, 0, 10), "append")
+    # simulate a crashed writer: files on disk, no snapshot/LATEST swap
+    import os, uuid
+
+    orphan = os.path.join(table, "data", uuid.uuid4().hex)
+    _df(spark, 100, 200).write.parquet(orphan)
+    assert read_table(spark, table).count() == 10
+    assert current_snapshot_id(table) == 1
+
+
+def test_bucketed_featurize_resume_via_snapshot_history(spark, transcripts_sdf, table):
+    """The Iceberg-shaped resume pattern end-to-end: each feature
+    bucket lands as one snapshot commit tagged with its partition; a
+    'killed' run is resumed by diffing the bucket list against snapshot
+    history (the MERGE-free resume — recompute only uncommitted
+    buckets), and the final table equals a single-shot featurize."""
+    from pyspark.sql import functions as F
+
+    from astrospectro_spark.engine.windows import featurize_expr
+
+    n_buckets = 4
+    bucketed = transcripts_sdf.withColumn(
+        "_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    )
+
+    def run_bucket(b):
+        feats = featurize_expr(
+            bucketed.filter(F.col("_bucket") == b).drop("_bucket"),
+            include_text=False,
+        )
+        return commit(table, feats, "append", partition=f"bucket={b}")
+
+    # first run dies after 2 of 4 buckets
+    run_bucket(0)
+    run_bucket(1)
+
+    committed = {s["summary"]["partition"] for s in history(table)}
+    todo = [b for b in range(n_buckets) if f"bucket={b}" not in committed]
+    assert todo == [2, 3]
+    for b in todo:
+        run_bucket(b)
+
+    got = read_table(spark, table)
+    want = featurize_expr(transcripts_sdf, include_text=False)
+    assert got.count() == want.count()
+    gs = got.agg(F.bit_xor(F.xxhash64(*sorted(got.columns)))).first()[0]
+    ws = want.agg(F.bit_xor(F.xxhash64(*sorted(want.columns)))).first()[0]
+    assert gs == ws  # order-insensitive content equality
+    # per-bucket time travel still works
+    assert read_table(spark, table, partition="bucket=1").count() > 0

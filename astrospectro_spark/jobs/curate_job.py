@@ -68,6 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="minimum composite quality_score in [0,1]")
     p.add_argument("--min-tokens", type=int, default=None)
     p.add_argument("--max-tokens", type=int, default=None)
+    p.add_argument(
+        "--atomic",
+        action="store_true",
+        help="publish the curated table through the snapshot log "
+        "(sources/snapshot_log): readers never see a partial run, "
+        "reruns append new snapshots, history is the audit trail",
+    )
     p.add_argument("--master", default=None)
     return p
 
@@ -217,15 +224,20 @@ def run(spark, args) -> dict:
         F.sum(F.col(c).cast("long")).alias(c) for c in FUNNEL_STAGES
     ]
     out_path = os.path.join(args.output, "curated")
-    (
-        flagged.observe(obs, *metrics)
-        .filter("keep")
-        .drop(*FUNNEL_STAGES)
-        .write.mode("overwrite")
-        .parquet(out_path)
-    )
+    kept = flagged.observe(obs, *metrics).filter("keep").drop(*FUNNEL_STAGES)
+    if getattr(args, "atomic", False):
+        # snapshot-log publish: the parquet write happens inside
+        # commit(); the observation is populated by that same action
+        from astrospectro_spark.sources.snapshot_log import commit
+
+        snapshot_id = commit(out_path, kept, "overwrite")
+    else:
+        kept.write.mode("overwrite").parquet(out_path)
+        snapshot_id = None
     report = {k: int(v) for k, v in obs.get.items()}
     report["n_kept"] = report.pop("keep")
+    if snapshot_id is not None:
+        report["snapshot_id"] = snapshot_id
     report_path = os.path.join(args.output, "report.json")
     with open(report_path, "w") as f:
         json.dump(report, f, indent=2, sort_keys=True)

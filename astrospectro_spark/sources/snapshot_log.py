@@ -128,6 +128,10 @@ def commit(
         if f.endswith(".parquet")
     )
     new_entries = [{"path": p, "partition": partition} for p in new_files]
+    # summarize what LANDED (columnar re-scan of the new files), not the
+    # input plan — a plan re-run would double-execute expensive lineage
+    # (joins, LSH) and could observe different data on a live source
+    summary = _lineage_summary(df.sparkSession.read.parquet(files_dir))
 
     if operation == "append" and expected_snapshot_id is not None:
         parent = _load_snapshot(table_dir, expected_snapshot_id)
@@ -144,7 +148,7 @@ def commit(
         "operation": operation,
         "committed_at": time.time(),
         "manifest": manifest,
-        "summary": {**_lineage_summary(df), "partition": partition},
+        "summary": {**summary, "partition": partition},
     }
     snap_path = os.path.join(_snap_dir(table_dir), f"v{snap_id:08d}.json")
 

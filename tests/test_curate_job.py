@@ -270,3 +270,24 @@ def test_curate_is_partition_invariant(spark, planted_src, tmp_path):
         return sorted((r.doc_id, tuple(r[c] for c in FUNNEL_STAGES)) for r in rows)
 
     assert verdicts(docs.repartition(7)) == verdicts(docs.repartition(3, "doc_id"))
+
+
+def test_curate_atomic_snapshot_publish(spark, planted_src, tmp_path):
+    """--atomic publishes through the snapshot log: reruns append
+    overwrite snapshots, history is the audit trail, readers resolve a
+    complete state only."""
+    from astrospectro_spark.jobs.curate_job import run
+    from astrospectro_spark.sources.snapshot_log import history, read_table
+
+    src, _ = planted_src
+    args = _args(tmp_path, src, min_quality=0.3, atomic=True)
+    r1 = run(spark, args)
+    assert r1["snapshot_id"] == 1
+    tbl = os.path.join(args.output, "curated")
+    assert read_table(spark, tbl).count() == r1["n_kept"]
+    r2 = run(spark, args)  # rerun: new overwrite snapshot, same content
+    assert r2["snapshot_id"] == 2
+    h = history(tbl)
+    assert [s["operation"] for s in h] == ["overwrite", "overwrite"]
+    assert h[0]["summary"]["checksum"] == h[1]["summary"]["checksum"]
+    assert read_table(spark, tbl, snapshot_id=1).count() == r1["n_kept"]

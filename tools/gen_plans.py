@@ -109,6 +109,34 @@ def main() -> None:
                 band_note.append("Band-bucket exchange input: `" + arg.group(1) + "` — ids only, no shingle arrays.")
     sections.append(("minhash_lsh_candidates — id-only band shuffle", pmh, band_note))
 
+    from astrospectro_spark.jobs.curate_job import FUNNEL_STAGES, curate
+
+    fun = (
+        curate(docs, min_quality=0.3, min_tokens=2)
+        .filter("keep")
+        .drop(*FUNNEL_STAGES)
+    )
+    add(
+        "curate funnel — dedup joins + expression filters, one output pass",
+        fun,
+        notes=(
+            "Exact-dedup groupBy + LSH band join are the only shuffles; "
+            "lang/quality/token verdicts are projections on the final scan.",
+        ),
+    )
+
+    from astrospectro_spark.functions.similarity import embedding_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    add(
+        "embedding_neardup_pairs — vectors never ride a sig exchange",
+        embedding_neardup_pairs(emb),
+        notes=(
+            "Bucket self-join carries (table, sig, id); vectors re-attached "
+            "to deduplicated pairs (locked by test_plan_shape).",
+        ),
+    )
+
     lines = [
         "# PLANS — physical-plan evidence (`.explain(\"formatted\")`)",
         "",

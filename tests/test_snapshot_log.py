@@ -130,3 +130,33 @@ def test_bucketed_featurize_resume_via_snapshot_history(spark, transcripts_sdf, 
     assert gs == ws  # order-insensitive content equality
     # per-bucket time travel still works
     assert read_table(spark, table, partition="bucket=1").count() > 0
+
+
+def test_concurrent_writers_exactly_one_wins(spark, table):
+    """Four threads race to commit from the same parent: the O_EXCL
+    manifest creation is the compare-and-swap, so exactly one commit
+    lands and the rest raise CommitConflict; losers' files stay
+    invisible orphans."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    commit(table, _df(spark, 0, 5), "append")
+    base = current_snapshot_id(table)
+
+    def racer(i):
+        try:
+            return ("ok", commit(
+                table, _df(spark, 100 * i, 100 * i + 10), "append",
+                expected_snapshot_id=base,
+            ))
+        except CommitConflict:
+            return ("conflict", None)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(racer, range(1, 5)))
+
+    wins = [r for r in results if r[0] == "ok"]
+    assert len(wins) == 1 and wins[0][1] == base + 1
+    assert sum(1 for r in results if r[0] == "conflict") == 3
+    assert current_snapshot_id(table) == base + 1
+    # winner's 10 rows + base 5; losers invisible
+    assert read_table(spark, table).count() == 15

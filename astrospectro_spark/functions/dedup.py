@@ -7,10 +7,10 @@ Four tiers, all expression-only (JVM, codegen) except where noted:
   column stays in the scan stage and only the digest shuffles);
 - :func:`ngram_jaccard_pairs` — word n-gram shingle Jaccard between
   candidate pairs (pairs bucketed by a cheap key to avoid O(n²));
-- :func:`minhash_lsh_candidates` — MinHash signatures (k permutations
-  via salted md5) + LSH banding: near-dup candidate pairs from
-  band-bucket joins, then exact-Jaccard verification. Scales as
-  O(n·k + candidate pairs), never O(n²);
+- :func:`minhash_lsh_candidates` — MinHash signatures (one md5 per
+  shingle, k integer universal-hash permutations) + LSH banding:
+  near-dup candidate pairs from band-bucket joins, then exact-Jaccard
+  verification. Scales as O(n·k + candidate pairs), never O(n²);
 - :func:`simhash64` — 64-bit SimHash over token hashes (aggregate +
   zip_with bit counters).
 
@@ -41,9 +41,22 @@ def _norm_tokens(text_col: str) -> Column:
     )
 
 
-def shingles(text_col: str = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles of normalized text."""
+def shingles(
+    text_col: str = "text", n: int = 3, max_tokens: int | None = None
+) -> Column:
+    """Distinct word n-gram shingles of normalized text.
+
+    ``max_tokens`` bounds the per-ROW shingle array: only the first
+    ``max_tokens`` tokens shingle, so one pathological document (a
+    gigabyte of text in a single row) cannot materialize an unbounded
+    array in one task. ``None`` (default, the oracle configuration)
+    shingles everything; dedup semantics under a cap degrade gracefully
+    — two documents identical in their first ``max_tokens`` tokens
+    become indistinguishable, the standard truncated-fingerprint
+    trade in large-corpus dedup pipelines."""
     toks = _norm_tokens(text_col)
+    if max_tokens is not None:
+        toks = F.slice(toks, 1, int(max_tokens))
     return F.array_distinct(
         F.when(
             F.size(toks) >= n,
@@ -194,7 +207,12 @@ def minhash_coeffs(num_perm: int = 32) -> tuple[list[int], list[int]]:
     return a, b
 
 
-def minhash_signature(text_col: str = "text", num_perm: int = 32, ngram: int = 3) -> Column:
+def minhash_signature(
+    text_col: str = "text",
+    num_perm: int = 32,
+    ngram: int = 3,
+    max_tokens: int | None = None,
+) -> Column:
     """MinHash signature: an array of k BIGINT minima, reproducible in
     any engine.
 
@@ -212,7 +230,7 @@ def minhash_signature(text_col: str = "text", num_perm: int = 32, ngram: int = 3
     av = F.array(*[F.lit(x).cast("long") for x in a])
     bv = F.array(*[F.lit(x).cast("long") for x in b])
     hs = F.transform(
-        shingles(text_col, ngram),
+        shingles(text_col, ngram, max_tokens),
         lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"),
     )
     return F.aggregate(
@@ -239,6 +257,7 @@ def minhash_lsh_candidates(
     ngram: int = 3,
     verify_threshold: float = 0.5,
     block_cols: tuple[str, ...] = (),
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup detection.
 
@@ -268,8 +287,8 @@ def minhash_lsh_candidates(
     d = df.select(
         F.col(id_col),
         *[F.col(c) for c in blocks],
-        shingles(text_col, ngram).alias("sh"),
-        minhash_signature(text_col, num_perm, ngram).alias("sig"),
+        shingles(text_col, ngram, max_tokens).alias("sh"),
+        minhash_signature(text_col, num_perm, ngram, max_tokens).alias("sig"),
     )
     banded = d.select(
         id_col,

@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Jaccard threshold for near-dup removal")
     p.add_argument("--no-near-dup", action="store_true",
                    help="skip the MinHash+LSH near-dup stage")
+    p.add_argument("--max-shingle-tokens", type=int, default=10_000,
+                   help="shingle only the first N tokens per document "
+                   "(bounds per-row memory against pathological giant "
+                   "docs; 0 = unlimited)")
     p.add_argument("--embeddings", default=None,
                    help="optional embeddings parquet (id must equal --id-col "
                    "values) for cosine near-dup removal")
@@ -92,6 +96,7 @@ def curate(
     min_quality: float | None = None,
     min_tokens: int | None = None,
     max_tokens: int | None = None,
+    max_shingle_tokens: int | None = 10_000,
 ):
     """Return (flagged_df, keep_expr): the input with one boolean
     verdict column per stage plus derived feature columns, and the
@@ -124,7 +129,9 @@ def curate(
     if near_dup_threshold is not None:
         survivors = flagged.filter("keep_exact").select(id_col, text_col)
         pairs = minhash_lsh_candidates(
-            survivors, text_col, id_col, verify_threshold=near_dup_threshold
+            survivors, text_col, id_col,
+            verify_threshold=near_dup_threshold,
+            max_tokens=max_shingle_tokens,
         )
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct().withColumn(
             "_near_dup", F.lit(True)
@@ -218,6 +225,7 @@ def run(spark, args) -> dict:
         min_quality=args.min_quality,
         min_tokens=args.min_tokens,
         max_tokens=args.max_tokens,
+        max_shingle_tokens=(args.max_shingle_tokens or None),
     )
     obs = Observation("curate_funnel")
     metrics = [F.count(F.lit(1)).alias("n_input")] + [

@@ -18,6 +18,7 @@ def _args(tmp_path, src, **kw):
         text_col="text",
         near_dup_threshold=0.5,
         no_near_dup=False,
+        max_shingle_tokens=10_000,
         embeddings=None,
         embedding_id_col="vec_id",
         embedding_vec_col="embedding",

@@ -271,3 +271,31 @@ def test_lang_id_and_quality(spark, docs):
     assert ts.loc[5, "n_tokens"] == 0 and pd.isna(ts.loc[5, "avg_token_len"])
     q = with_quality(docs).toPandas().set_index("doc_id")
     assert 0 <= q.loc[0, "stopword_ratio"] <= 1
+
+
+def test_shingle_token_cap(spark):
+    """max_tokens bounds the per-row shingle array: identical to
+    uncapped on short docs, truncated-prefix semantics on giant ones
+    (two docs sharing the first max_tokens tokens become near-dups)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from astrospectro_spark.functions.dedup import shingles
+
+    long_a = " ".join(f"tok{i}" for i in range(200)) + " unique tail alpha"
+    long_b = " ".join(f"tok{i}" for i in range(200)) + " different ending beta"
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["short doc here now", long_a, long_b]})
+    df = spark.createDataFrame(pdf)
+
+    out = df.select(
+        "doc_id",
+        F.size(shingles("text")).alias("full"),
+        F.size(shingles("text", max_tokens=50)).alias("capped"),
+        shingles("text", max_tokens=50).alias("capped_sh"),
+    ).toPandas().set_index("doc_id")
+    # short doc: cap is a no-op
+    assert out.loc[0, "full"] == out.loc[0, "capped"]
+    # long docs: capped to 48 trigrams over the first 50 tokens
+    assert out.loc[1, "full"] > out.loc[1, "capped"] == 48
+    # prefix-identical giants are indistinguishable under the cap
+    assert sorted(out.loc[1, "capped_sh"]) == sorted(out.loc[2, "capped_sh"])

@@ -299,3 +299,35 @@ def test_shingle_token_cap(spark):
     assert out.loc[1, "full"] > out.loc[1, "capped"] == 48
     # prefix-identical giants are indistinguishable under the cap
     assert sorted(out.loc[1, "capped_sh"]) == sorted(out.loc[2, "capped_sh"])
+
+
+def test_ivf_cosine_topk_recall_and_precision(spark):
+    """IVF ANN: results are a subset of the brute-force top ranking
+    universe (exact rerank → no false cosines), byte-identical planted
+    vectors are always recalled, and recall@5 against exact top-5 is
+    well above the single-cell floor."""
+    from pyspark.sql import functions as F
+
+    from astrospectro_spark.functions.similarity import cosine_topk, ivf_cosine_topk
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mx = corpus.agg(F.max("vec_id")).first()[0]
+    # plant an exact copy of vector 3 under a new id
+    clone = corpus.filter("vec_id = 3").withColumn("vec_id", F.lit(mx + 1).cast("long"))
+    corpus = corpus.unionByName(clone)
+    queries = corpus.filter("vec_id < 10")
+
+    got = ivf_cosine_topk(queries, corpus, k=5, n_centroids=16, n_probe=4)
+    exact = cosine_topk(queries, corpus, k=5)
+
+    g = {(r.query_id, r.cand_id): r.cosine for r in got.collect()}
+    e = {(r.query_id, r.cand_id): r.cosine for r in exact.collect()}
+
+    # exact rerank: any overlapping pair carries the identical cosine
+    for pair in set(g) & set(e):
+        assert g[pair] == e[pair]
+    # identical vector lives in the same cell → always found for query 3
+    assert any(q == 3 and c == mx + 1 for q, c in g)
+    # recall@5 across the 10 queries: well above the 1/16 single-cell floor
+    recall = len(set(g) & set(e)) / len(e)
+    assert recall >= 0.3, recall

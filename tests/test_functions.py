@@ -331,3 +331,57 @@ def test_ivf_cosine_topk_recall_and_precision(spark):
     # recall@5 across the 10 queries: well above the 1/16 single-cell floor
     recall = len(set(g) & set(e)) / len(e)
     assert recall >= 0.3, recall
+
+
+def test_winnow_shared_passage_detection(spark):
+    """Winnowing guarantee: two documents sharing one long passage
+    embedded in otherwise different text share fingerprints (any match
+    of >= w+k-1 consecutive tokens yields a common selected print);
+    unrelated docs share none. Whole-doc Jaccard on the same pair is
+    tiny — the tier exists precisely for this case."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from astrospectro_spark.functions.dedup import (
+        shared_passage_pairs,
+        shingles,
+        winnow_fingerprints,
+    )
+
+    passage = " ".join(f"shared{i}" for i in range(40))
+    a_text = " ".join(f"alpha{i}" for i in range(120)) + " " + passage
+    b_text = passage + " " + " ".join(f"beta{i}" for i in range(120))
+    c_text = " ".join(f"gamma{i}" for i in range(160))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": [a_text, b_text, c_text]})
+    )
+
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in shared_passage_pairs(df, min_shared=2).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+    # the same pair under whole-doc Jaccard: far below near-dup range
+    sh = df.select("doc_id", shingles("text").alias("sh"))
+    a = sh.filter("doc_id = 0").select(F.col("sh").alias("sa"))
+    b = sh.filter("doc_id = 1").select(F.col("sh").alias("sb"))
+    jac = (
+        a.crossJoin(b)
+        .select(
+            (
+                F.size(F.array_intersect("sa", "sb"))
+                / F.size(F.array_union("sa", "sb"))
+            ).alias("j")
+        )
+        .first()["j"]
+    )
+    assert jac < 0.2
+
+    # determinism + per-row bound via max_tokens
+    w1 = df.select(winnow_fingerprints("text").alias("fp")).collect()
+    w2 = df.select(winnow_fingerprints("text").alias("fp")).collect()
+    assert [sorted(r.fp) for r in w1] == [sorted(r.fp) for r in w2]
+    capped = df.select(F.size(winnow_fingerprints("text", max_tokens=30)).alias("n")).collect()
+    assert all(r.n <= 30 for r in capped)

@@ -38,6 +38,21 @@ def token_count(col: str | Column = "text") -> Column:
     return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(tokens(c))).cast("long")
 
 
+BPE_TOKEN_RE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(col: str | Column = "text") -> Column:
+    """BPE-ish token count: the GPT-2 pre-tokenizer's segment classes
+    (optionally space-prefixed letter runs / digit runs / punctuation
+    runs, plus whitespace runs), without its lookahead branches so the
+    pattern stays RE2-compatible — DuckDB counts the identical
+    segments with ``len(regexp_extract_all(text, ...))`` (engine-parity
+    tested). Approximates subword token counts far better than
+    whitespace splitting on code, URLs, and punctuation-dense text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE)).cast("long")
+
+
 def _count_occurrences(c: Column, needle: str) -> Column:
     """Occurrences of ``needle`` via the length-difference trick —
     identical semantics in any SQL engine."""
@@ -49,6 +64,7 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tok = token_count(c)
     return (
         df.withColumn("n_tokens", n_tok)
+        .withColumn("n_tokens_bpe", bpe_token_count(c))
         .withColumn("n_chars_measured", F.length(c).cast("long"))
         .withColumn(
             "avg_token_len",

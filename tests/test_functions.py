@@ -385,3 +385,50 @@ def test_winnow_shared_passage_detection(spark):
     assert [sorted(r.fp) for r in w1] == [sorted(r.fp) for r in w2]
     capped = df.select(F.size(winnow_fingerprints("text", max_tokens=30)).alias("n")).collect()
     assert all(r.n <= 30 for r in capped)
+
+
+def test_bpe_token_count_engine_parity(spark):
+    """The BPE-ish regex counts the identical segments in Spark (Java
+    regex) and DuckDB (RE2) — the pattern deliberately avoids
+    lookaheads. Checked on the documents fixture + adversarial
+    strings."""
+    import duckdb
+    import pandas as pd
+
+    from astrospectro_spark.functions.text import BPE_TOKEN_RE, bpe_token_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    extra = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [9001, 9002, 9003, 9004],
+                "text": pd.array(
+                    [
+                        "def f(x): return x**2  # code!",
+                        "https://example.com/a_b?c=1&d=2",
+                        "héllo wörld 123abc !!!",
+                        "",
+                    ],
+                    dtype="string",
+                ),
+            }
+        )
+    )
+    df = docs.select("doc_id", "text").unionByName(extra)
+    got = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", bpe_token_count("text").alias("n")).collect()
+    }
+    pdf = df.toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = {
+        int(r[0]): int(r[1])
+        for r in con.execute(
+            "SELECT doc_id, len(regexp_extract_all(text, ?)) FROM t",
+            [BPE_TOKEN_RE],
+        ).fetchall()
+    }
+    assert got == want
+    # sanity: punctuation-dense text yields more segments than whitespace
+    assert got[9001] > len("def f(x): return x**2  # code!".split())

@@ -261,6 +261,15 @@ def ivf_cosine_topk(
         .select(id_col, vec_col)
         .collect()
     ]
+    if not cents:
+        # empty corpus: no cells to probe — empty result, stable schema
+        return (
+            queries.select(F.col(id_col).alias("query_id"))
+            .limit(0)
+            .withColumn("cand_id", F.col("query_id"))
+            .withColumn("cosine", F.lit(0.0))
+            .withColumn("rank", F.lit(0).cast("long"))
+        )
 
     def cell_scores(vec: Column) -> list[Column]:
         out = []

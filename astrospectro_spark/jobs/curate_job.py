@@ -242,7 +242,8 @@ def run(spark, args) -> dict:
     else:
         kept.write.mode("overwrite").parquet(out_path)
         snapshot_id = None
-    report = {k: int(v) for k, v in obs.get.items()}
+    # sums over a zero-row input observe as None — report them as 0
+    report = {k: int(v) if v is not None else 0 for k, v in obs.get.items()}
     report["n_kept"] = report.pop("keep")
     if snapshot_id is not None:
         report["snapshot_id"] = snapshot_id

@@ -103,3 +103,40 @@ def test_similarity_empty_sides(spark):
     assert cosine_topk(emb.limit(3), emb.limit(0)).count() == 0
     assert cosine_topk(emb.limit(0), emb.limit(100)).count() == 0
     assert lsh_cosine_topk(emb.limit(3), emb.limit(0)).count() == 0
+
+
+def test_new_operators_empty(spark, documents_sdf, tmp_path):
+    """Zero-row inputs through the round-4 additions: winnowing,
+    IVF/embedding ANN, and the curate funnel (whose observe metrics
+    sum to NULL on an empty input — reported as 0, not a crash)."""
+    from argparse import Namespace
+
+    from astrospectro_spark.functions.dedup import shared_passage_pairs, winnow_fingerprints
+    from astrospectro_spark.functions.similarity import (
+        embedding_neardup_pairs,
+        ivf_cosine_topk,
+    )
+    from astrospectro_spark.jobs.curate_job import run
+    from pyspark.sql import functions as F
+
+    empty_docs = documents_sdf.limit(0)
+    assert shared_passage_pairs(empty_docs).count() == 0
+    assert empty_docs.select(winnow_fingerprints("text")).count() == 0
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert embedding_neardup_pairs(emb.limit(0)).count() == 0
+    assert ivf_cosine_topk(emb.limit(3), emb.limit(0)).count() == 0
+    assert ivf_cosine_topk(emb.limit(0), emb.limit(50)).count() == 0
+
+    src = str(tmp_path / "empty_docs.parquet")
+    empty_docs.write.parquet(src)
+    args = Namespace(
+        input=src, output=str(tmp_path / "out"), id_col="doc_id",
+        text_col="text", near_dup_threshold=0.5, no_near_dup=False,
+        max_shingle_tokens=10_000, embeddings=None,
+        embedding_id_col="vec_id", embedding_vec_col="embedding",
+        embedding_threshold=0.95, langs=None, min_quality=None,
+        min_tokens=None, max_tokens=None, atomic=False, master=None,
+    )
+    report = run(spark, args)
+    assert report["n_input"] == 0 and report["n_kept"] == 0

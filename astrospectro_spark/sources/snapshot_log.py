@@ -39,6 +39,7 @@ a ``partition`` tag), resolved driver-side before the parquet scan.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import time
@@ -49,7 +50,13 @@ from pyspark.sql import functions as F
 
 
 class CommitConflict(RuntimeError):
-    """LATEST moved between read and commit — retry on a fresh read."""
+    """LATEST moved between read and commit — retry on a fresh read.
+
+    A retry is always productive: if the conflict came from a crashed
+    writer's orphaned v-file (created but never published), the losing
+    commit ADOPTS it — finishes the crashed writer's LATEST swap — so
+    the retry sees an advanced table instead of hitting the same
+    orphan forever (the round-4 wedge)."""
 
 
 def _snap_dir(table_dir: str) -> str:
@@ -87,6 +94,96 @@ def history(table_dir: str) -> list[dict]:
     return out
 
 
+def _json_scalar(v):
+    """Parquet-footer stat → JSON-safe, order-preserving scalar.
+
+    Timestamps map to epoch microseconds (the engine's µs convention)
+    so bounds compare as plain ints; bytes decode best-effort."""
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    return None
+
+
+def _file_column_stats(path: str) -> dict[str, list]:
+    """Per-file {column: [min, max]} from the parquet FOOTER only —
+    no data pages are read. This is the snapshot-log analogue of
+    Iceberg's per-data-file column bounds (lower_bounds/upper_bounds),
+    the metadata that lets a 100 TB scan skip files driver-side
+    (reference analog: the FITS header-only catalog pass,
+    src/tools/generate_catalog_from_fits.py:49-50).
+
+    Columns with missing/unusable stats in ANY row group are omitted
+    (absence = "don't prune on this file"), so pruning stays sound for
+    truncated string stats or stats-less writers."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    schema = md.schema
+    bounds: dict[str, list] = {}
+    dead: set[str] = set()
+    for rg in range(md.num_row_groups):
+        grp = md.row_group(rg)
+        for ci in range(grp.num_columns):
+            col = grp.column(ci)
+            name = schema.column(ci).name
+            if name in dead or "." in col.path_in_schema:
+                continue  # nested leaves prune nothing useful
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                dead.add(name)
+                bounds.pop(name, None)
+                continue
+            lo, hi = _json_scalar(st.min), _json_scalar(st.max)
+            if lo is None or hi is None:
+                dead.add(name)
+                bounds.pop(name, None)
+                continue
+            if name in bounds:
+                bounds[name][0] = min(bounds[name][0], lo)
+                bounds[name][1] = max(bounds[name][1], hi)
+            else:
+                bounds[name] = [lo, hi]
+    return bounds
+
+
+def _norm_bound(v):
+    """Normalise a caller-supplied pruning bound like _json_scalar."""
+    out = _json_scalar(v)
+    if out is None:
+        raise TypeError(f"unsupported pruning bound type: {type(v).__name__}")
+    return out
+
+
+def _entry_survives(entry: dict, stats_filter: dict) -> bool:
+    """False only when the file's footer bounds PROVE no row matches.
+
+    Files without stats for a column always survive — pruning is an
+    optimisation, never a correctness gate; callers still apply the
+    real row-level filter on the scan."""
+    stats = entry.get("stats") or {}
+    for col, (lo, hi) in stats_filter.items():
+        b = stats.get(col)
+        if b is None:
+            continue
+        fmin, fmax = b
+        if lo is not None and fmax < _norm_bound(lo):
+            return False
+        if hi is not None and fmin > _norm_bound(hi):
+            return False
+    return True
+
+
 def _lineage_summary(df: DataFrame) -> dict:
     """Row count + order-insensitive checksum (same convention as the
     lineage ledger: bit_xor of xxhash64 over all columns)."""
@@ -121,13 +218,25 @@ def commit(
     os.makedirs(_snap_dir(table_dir), exist_ok=True)
 
     files_dir = os.path.join(table_dir, "data", uuid.uuid4().hex)
-    df.write.parquet(files_dir)
+    # force µs timestamps for THIS write even under a foreign session:
+    # INT96 (legacy default) has no footer min/max, which would silently
+    # disable ts data skipping on every file this table ever commits
+    conf = df.sparkSession.conf
+    prev_ts_type = conf.get("spark.sql.parquet.outputTimestampType")
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        df.write.parquet(files_dir)
+    finally:
+        conf.set("spark.sql.parquet.outputTimestampType", prev_ts_type)
     new_files = sorted(
         os.path.join(files_dir, f)
         for f in os.listdir(files_dir)
         if f.endswith(".parquet")
     )
-    new_entries = [{"path": p, "partition": partition} for p in new_files]
+    new_entries = [
+        {"path": p, "partition": partition, "stats": _file_column_stats(p)}
+        for p in new_files
+    ]
     # summarize what LANDED (columnar re-scan of the new files), not the
     # input plan — a plan re-run would double-execute expensive lineage
     # (joins, LSH) and could observe different data on a live source
@@ -164,8 +273,18 @@ def commit(
         with open(snap_path, "x") as f:
             json.dump(snap, f)
     except FileExistsError as e:
+        # The v-file exists but we read LATEST == parent above. Either a
+        # live racer created it microseconds ago and is about to publish,
+        # or a writer CRASHED between O_EXCL and the LATEST swap, leaving
+        # an orphan that would conflict every future commit from this
+        # parent forever (the round-4 wedge). Resolve by HELPING: finish
+        # the other writer's publication ourselves, then conflict so OUR
+        # data retries against the advanced table. The swap is idempotent
+        # (same content) if the racer is alive and publishes too.
+        _adopt_orphan(table_dir, snap_path, snap_id, expected_snapshot_id)
         raise CommitConflict(
-            f"concurrent commit already produced snapshot {snap_id}"
+            f"concurrent commit already produced snapshot {snap_id}; "
+            "adopted it into LATEST — retry on a fresh read"
         ) from e
     tmp = _latest_path(table_dir) + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -174,23 +293,95 @@ def commit(
     return snap_id
 
 
+def _adopt_orphan(
+    table_dir: str, snap_path: str, snap_id: int, parent_id: int | None
+) -> None:
+    """Publish (or clear) a v-file whose writer never swapped LATEST.
+
+    Three cases, all safe under a live racer:
+
+    - Valid JSON → advance LATEST to it (idempotent with the racer's
+      own publish: byte-identical content, atomic ``os.replace``).
+    - Unparseable AND stale (mtime older than the grace window) → a
+      writer died mid-``json.dump``; unlink the husk so the next
+      retry's O_EXCL create can win.
+    - Unparseable but FRESH → a live racer may still be flushing;
+      leave it alone (their close/publish or a later stale pass
+      resolves it).
+    """
+    grace_s = 10.0
+    try:
+        with open(snap_path) as f:
+            orphan = json.load(f)
+    except FileNotFoundError:
+        return  # already resolved by someone else
+    except (json.JSONDecodeError, ValueError):
+        try:
+            if time.time() - os.path.getmtime(snap_path) > grace_s:
+                os.unlink(snap_path)
+        except FileNotFoundError:
+            pass
+        return
+    if orphan.get("snapshot_id") != snap_id:
+        return
+    if current_snapshot_id(table_dir) != parent_id:
+        return  # LATEST already advanced — nothing to finish
+    tmp = _latest_path(table_dir) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"snapshot_id": snap_id}, f)
+    os.replace(tmp, _latest_path(table_dir))
+
+
+def resolve_files(
+    table_dir: str,
+    snapshot_id: int | None = None,
+    partition: str | None = None,
+    stats_filter: dict | None = None,
+) -> list[str]:
+    """Driver-side file resolution: manifest entries surviving the
+    ``partition`` tag filter AND the column-stats ``stats_filter``.
+
+    ``stats_filter`` maps column → ``(lo, hi)`` inclusive bounds
+    (either side may be None for unbounded). A file is skipped only
+    when its parquet-footer min/max PROVE no row can match — the
+    Iceberg data-skipping contract. Exposed separately from
+    :func:`read_table` so tests and planners can assert exactly which
+    files a bounded read would open."""
+    sid = snapshot_id if snapshot_id is not None else current_snapshot_id(table_dir)
+    if sid is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    entries = _load_snapshot(table_dir, sid)["manifest"]
+    if partition is not None:
+        entries = [e for e in entries if e["partition"] == partition]
+    if stats_filter:
+        entries = [e for e in entries if _entry_survives(e, stats_filter)]
+    return [e["path"] for e in entries]
+
+
 def read_table(
     spark: SparkSession,
     table_dir: str,
     snapshot_id: int | None = None,
     partition: str | None = None,
+    stats_filter: dict | None = None,
 ) -> DataFrame:
     """Read the table exactly as of ``snapshot_id`` (default: LATEST).
-    ``partition`` prunes manifest entries driver-side before the scan."""
+
+    ``partition`` prunes manifest entries driver-side before the scan;
+    ``stats_filter`` ({column: (lo, hi)}) additionally skips files
+    whose footer min/max prove no match. Pruning is an optimisation:
+    surviving files may still hold non-matching rows, so callers apply
+    the real row-level predicate too (exactly as with Iceberg scans —
+    the predicate both prunes files and filters rows)."""
     sid = snapshot_id if snapshot_id is not None else current_snapshot_id(table_dir)
-    if sid is None:
-        raise FileNotFoundError(f"no snapshots in {table_dir}")
-    snap = _load_snapshot(table_dir, sid)
-    entries = snap["manifest"]
-    if partition is not None:
-        entries = [e for e in entries if e["partition"] == partition]
-    paths = [e["path"] for e in entries]
+    paths = resolve_files(table_dir, sid, partition, stats_filter)
     if not paths:
+        if stats_filter:
+            # a stats-filter can legitimately prune everything; give the
+            # caller an empty frame with the right schema instead of an
+            # error (all = unpruned file set, read schema-only)
+            all_paths = resolve_files(table_dir, sid, partition)
+            return spark.read.parquet(*all_paths).limit(0)
         raise FileNotFoundError(
             f"snapshot {sid} has no files for partition {partition!r}"
         )

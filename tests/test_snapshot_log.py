@@ -160,3 +160,124 @@ def test_concurrent_writers_exactly_one_wins(spark, table):
     assert current_snapshot_id(table) == base + 1
     # winner's 10 rows + base 5; losers invisible
     assert read_table(spark, table).count() == 15
+
+
+def test_orphaned_vfile_is_adopted_not_a_wedge(spark, table):
+    """Round-4 ADVICE (medium): a writer crashing between O_EXCL v-file
+    creation and the LATEST swap must not wedge the table. The next
+    commit from the same parent ADOPTS the orphan (finishes its LATEST
+    swap), raises one CommitConflict, and the retry then lands."""
+    import json, os
+
+    commit(table, _df(spark, 0, 5), "append")
+    base = current_snapshot_id(table)
+
+    # simulate the crash: build a valid v-file for base+1 by hand,
+    # never swap LATEST (files referenced: reuse base's — content is
+    # irrelevant to the wedge mechanics, validity of JSON is not)
+    parent = json.load(
+        open(os.path.join(table, "_snapshots", f"v{base:08d}.json"))
+    )
+    orphan = {
+        "snapshot_id": base + 1,
+        "parent_id": base,
+        "operation": "append",
+        "committed_at": 0.0,
+        "manifest": parent["manifest"],
+        "summary": {"n_rows": 5, "checksum": 0, "partition": None},
+    }
+    with open(
+        os.path.join(table, "_snapshots", f"v{base + 1:08d}.json"), "x"
+    ) as f:
+        json.dump(orphan, f)
+    assert current_snapshot_id(table) == base  # crash state: un-published
+
+    # first commit hits the orphan, adopts it, conflicts once …
+    with pytest.raises(CommitConflict):
+        commit(table, _df(spark, 10, 20), "append")
+    assert current_snapshot_id(table) == base + 1  # adoption happened
+
+    # … and the documented retry-on-fresh-read NOW SUCCEEDS (round 4:
+    # it conflicted forever)
+    sid = commit(table, _df(spark, 10, 20), "append")
+    assert sid == base + 2
+    # 5 base rows (the orphan's manifest reuses the parent's files,
+    # adding none) + the retried 10
+    assert read_table(spark, table).count() == 15
+
+
+def test_corrupt_stale_vfile_is_cleared(spark, table):
+    """A writer dying mid-json.dump leaves an unparseable husk; once
+    stale (mtime beyond the grace window) the next commit clears it and
+    the retry proceeds."""
+    import os, time
+
+    commit(table, _df(spark, 0, 5), "append")
+    base = current_snapshot_id(table)
+    husk = os.path.join(table, "_snapshots", f"v{base + 1:08d}.json")
+    with open(husk, "x") as f:
+        f.write('{"snapshot_id": ')  # truncated JSON
+    old = time.time() - 3600
+    os.utime(husk, (old, old))
+
+    with pytest.raises(CommitConflict):
+        commit(table, _df(spark, 10, 20), "append")
+    assert not os.path.exists(husk)  # husk cleared
+    assert commit(table, _df(spark, 10, 20), "append") == base + 1
+    assert read_table(spark, table).count() == 15
+
+
+def test_stats_skipping_opens_only_matching_files(spark, table):
+    """Column-stats data skipping (Iceberg lower/upper bounds): a
+    ts-bounded read resolves ONLY files whose footer min/max intersect
+    the bound — asserted on the file list itself — with results equal
+    to an unpruned filter."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from astrospectro_spark.sources.snapshot_log import resolve_files
+
+    def day_df(day, lo, hi):
+        return (
+            spark.range(lo, hi)
+            .withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.lit(day * 86400) + (F.col("id") % 100) * 60
+                ),
+            )
+            .coalesce(1)
+        )
+
+    # three commits = three files, disjoint ts days and id ranges
+    commit(table, day_df(0, 0, 100), "append", partition="d0")
+    commit(table, day_df(1, 100, 200), "append", partition="d1")
+    commit(table, day_df(2, 200, 300), "append", partition="d2")
+
+    all_files = resolve_files(table)
+    assert len(all_files) == 3
+
+    # ts bound covering only day 1
+    lo = dt.datetime(1970, 1, 2, tzinfo=dt.timezone.utc)
+    hi = dt.datetime(1970, 1, 2, 23, tzinfo=dt.timezone.utc)
+    pruned = resolve_files(table, stats_filter={"ts": (lo, hi)})
+    assert len(pruned) == 1
+    # the surviving file is exactly the d1 file
+    assert pruned == resolve_files(table, partition="d1")
+
+    # same pruning through read_table; values match the row-level filter
+    got = read_table(spark, table, stats_filter={"ts": (lo, hi)})
+    assert sorted(r.id for r in got.collect()) == list(range(100, 200))
+
+    # integer-column bounds prune too (half-open: hi=None)
+    assert len(resolve_files(table, stats_filter={"id": (250, None)})) == 1
+    assert len(resolve_files(table, stats_filter={"id": (None, 150)})) == 2
+
+    # a bound matching nothing → empty frame with the table schema
+    none_df = read_table(spark, table, stats_filter={"id": (10_000, None)})
+    assert none_df.count() == 0 and set(none_df.columns) == {"id", "ts"}
+
+    # files without stats for the column are conservatively KEPT
+    entries_probe = resolve_files(table, stats_filter={"no_such_col": (0, 1)})
+    assert len(entries_probe) == 3

@@ -431,6 +431,7 @@ def shared_passage_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_tokens: int | None = None,
+    max_doc_freq: int | None = 10_000,
 ) -> DataFrame:
     """Document pairs sharing at least ``min_shared`` winnowed
     fingerprints — the partial-overlap / boilerplate detector that
@@ -441,15 +442,30 @@ def shared_passage_pairs(
     Scale shape: explode fingerprints → self-join on the 60-bit print
     (the shuffle carries ``(print, id)`` only) → count shared prints
     per pair. Pathologically common prints (site boilerplate shared by
-    millions of docs) would fan out quadratically — callers should
-    pre-filter prints whose document frequency exceeds a cap, the same
-    census-gate pattern as ``ngram_jaccard_pairs``."""
+    millions of docs) would fan out quadratically, so the function
+    enforces its own census gate (same pattern as
+    ``ngram_jaccard_pairs``): prints whose document frequency exceeds
+    ``max_doc_freq`` are dropped BEFORE the self-join — a print shared
+    by more docs than the cap identifies boilerplate, not a copied
+    passage, and contributes no precision. ``max_doc_freq=None``
+    disables the gate (exact/oracle runs only). The census is a window
+    count over the already-shuffled print key: no extra exchange."""
+    from pyspark.sql import Window
+
     prints = df.select(
         F.col(id_col),
         F.explode(
             winnow_fingerprints(text_col, k, w, max_tokens)
         ).alias("fp"),
     )
+    if max_doc_freq is not None:
+        prints = (
+            prints.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+            )
+            .filter(F.col("_df") <= int(max_doc_freq))
+            .drop("_df")
+        )
     a = prints.select(F.col(id_col).alias("id_a"), "fp")
     b = prints.select(F.col(id_col).alias("id_b"), "fp")
     return (
@@ -458,4 +474,107 @@ def shared_passage_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Min-id connected-component label for every node of a pair set,
+    via alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — the cluster-level
+    keep-one semantics that pairwise canonical-min dedup approximates.
+
+    Returns ``(id, component)`` with one row per distinct node;
+    ``component`` is the smallest id reachable from ``id`` (roots map
+    to themselves). Deterministic: min-ordering everywhere, no
+    randomness, so the labelling is identical across partitionings.
+
+    Scale shape: each round is two join+groupBy passes over the edge
+    set; edges only ever shrink toward star graphs and the round count
+    is O(log n) in the largest component size — NOT O(diameter), which
+    is what makes this the 10^12-doc algorithm (a 1M-doc chain
+    converges in ~20 rounds where naive label propagation needs 1M).
+    Every round the edge set is ``localCheckpoint``-ed to truncate the
+    iterative plan lineage; at cluster scale point ``spark.sparkContext
+    .setCheckpointDir`` at durable storage and swap in ``checkpoint``
+    for executor-loss resilience.
+
+    Reference analog: the reference's duplicate-observation grouping
+    keeps one spectrum per (obsid) group (SURVEY §2.2 F5/U2); this is
+    the transitive version for near-dup graphs where A≈B≈C must yield
+    ONE keeper even though A≉C directly.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # symmetrize; for each u connect every LARGER neighbor to
+        # min(N(u) ∪ {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient high→low; for each u connect every (smaller) neighbor
+        # AND u itself to min(N(u) ∪ {u})
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            oriented.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _sig(e: DataFrame) -> tuple[int, int]:
+        row = e.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+        return int(row["n"]), int(row["h"])
+
+    edges = edges.localCheckpoint(eager=True)
+    sig = _sig(edges)
+    for _ in range(max_iterations):
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        nsig = _sig(nxt)
+        edges, prev_sig, sig = nxt, sig, nsig
+        if nsig == prev_sig:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+
+    # converged edge set is a union of stars (u → root); nodes absent
+    # from it were never merged past themselves → their own root
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .union(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+    )
+    labels = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return (
+        nodes.join(labels, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
     )

@@ -1205,3 +1205,31 @@ def _splice_minhash_coeffs(sql: str) -> str:
 
 
 ORACLE_SQL["minhash_lsh"] = _splice_minhash_coeffs(ORACLE_SQL["minhash_lsh"])
+
+
+def _dup_clusters_sql() -> str:
+    """Transitive duplicate clusters = the minhash_lsh pair SQL (same
+    CTE chain, byte-identical hashes) + a recursive-CTE transitive
+    closure labelling every node with its component's min id — the
+    oracle for the iterative large-star/small-star Spark job."""
+    mh = ORACLE_SQL["minhash_lsh"]
+    body = mh[mh.index("WITH") + len("WITH"): mh.rindex("SELECT")].rstrip()
+    return (
+        "WITH RECURSIVE "
+        + body
+        + """,
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM verified WHERE jaccard >= 0.3
+  UNION
+  SELECT id_b, id_a FROM verified WHERE jaccard >= 0.3
+), reach(id, t) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.id, s.v FROM reach r JOIN sym s ON r.t = s.u
+)
+SELECT id, least(id, min(t)) AS component FROM reach GROUP BY id
+"""
+    )
+
+
+ORACLE_SQL["dup_clusters"] = _dup_clusters_sql()

@@ -1420,6 +1420,21 @@ def q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_candidates(d, verify_threshold=0.3, bands=8)
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Transitive duplicate clusters: min-id connected-component label
+    for every node of the verified MinHash+LSH pair set (large-star/
+    small-star, ``functions.dedup.connected_components``). Oracle:
+    identical pair SQL + a recursive-CTE transitive closure."""
+    from astrospectro_spark.functions.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(d, verify_threshold=0.3, bands=8)
+    return connected_components(pairs, "id_a", "id_b")
+
+
 def q_simhash(spark, sf_dir):
     """64-bit SimHash per document (md5-word bits → full DuckDB oracle)."""
     from astrospectro_spark.functions.dedup import simhash64
@@ -1651,6 +1666,7 @@ QUERIES = {
     "fingerprint_stats": q_fingerprint_stats,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
+    "dup_clusters": q_dup_clusters,
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
     "cosine_topk_lsh": q_cosine_topk_lsh,

@@ -432,3 +432,102 @@ def test_bpe_token_count_engine_parity(spark):
     assert got == want
     # sanity: punctuation-dense text yields more segments than whitespace
     assert got[9001] > len("def f(x): return x**2  # code!".split())
+
+
+class TestConnectedComponents:
+    """Large-star/small-star min-id labelling vs a pure-python
+    union-find oracle, determinism across partitionings, and the
+    O(log n)-round convergence property on a long chain."""
+
+    @staticmethod
+    def _oracle(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    def _check(self, spark, pairs, num_partitions=None):
+        from astrospectro_spark.functions.dedup import connected_components
+
+        df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+        if num_partitions:
+            df = df.repartition(num_partitions)
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == self._oracle(pairs)
+        return got
+
+    def test_three_chain_min_label(self, spark):
+        # A≈C, B≈C only: one component {A,B,C}, root A
+        got = self._check(spark, [("docA", "docC"), ("docB", "docC")])
+        assert got == {"docA": "docA", "docB": "docA", "docC": "docA"}
+
+    def test_random_graph_vs_union_find(self, spark):
+        import random
+
+        rng = random.Random(42)
+        nodes = [f"n{i:03d}" for i in range(80)]
+        pairs = [tuple(rng.sample(nodes, 2)) for _ in range(60)]
+        self._check(spark, pairs)
+
+    def test_deterministic_across_partitionings(self, spark):
+        import random
+
+        rng = random.Random(7)
+        nodes = list(range(50))
+        pairs = [tuple(rng.sample(nodes, 2)) for _ in range(40)]
+        a = self._check(spark, pairs, num_partitions=1)
+        b = self._check(spark, pairs, num_partitions=13)
+        assert a == b
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        # a 200-node chain: naive min-propagation needs ~200 rounds;
+        # star-contraction must finish far inside max_iterations=12
+        from astrospectro_spark.functions.dedup import connected_components
+
+        pairs = [(i, i + 1) for i in range(200)]
+        df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+        labels = connected_components(df, max_iterations=12).collect()
+        assert {r["component"] for r in labels} == {0}
+        assert len(labels) == 201
+
+    def test_self_loops_and_duplicate_edges(self, spark):
+        got = self._check(
+            spark,
+            [(1, 1), (1, 2), (2, 1), (1, 2), (4, 4), (5, 6)],
+        )
+        # 4's only edge is a self-loop: still labelled (its own root)
+        assert got[4] == 4 and got[5] == 5 and got[6] == 5
+
+
+def test_shared_passage_max_doc_freq_gate(spark):
+    """A boilerplate passage shared by MANY docs is excluded from the
+    self-join by the census gate; a rarer shared passage still pairs."""
+    from astrospectro_spark.functions.dedup import shared_passage_pairs
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"doc {i} unique head {passage} unique tail {i}")
+            for i in range(12)]
+    rows += [(100, f"rare shared passage {passage.upper()} only twice x"),
+             (101, f"rare shared passage {passage.upper()} only twice y")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    ungated = shared_passage_pairs(df, max_doc_freq=None)
+    assert ungated.count() >= 66  # 12-doc boilerplate fans out ~C(12,2)
+
+    gated = shared_passage_pairs(df, max_doc_freq=5)
+    got = {(r["id_a"], r["id_b"]) for r in gated.collect()}
+    assert all(a >= 100 and b >= 100 for a, b in got)  # boilerplate gone
+    assert (100, 101) in got  # the 2-doc shared passage survives

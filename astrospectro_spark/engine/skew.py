@@ -75,9 +75,16 @@ def featurize_salted(
     persist_hot: bool = True,
     include_text: bool = True,
     wide: bool = False,
+    enum_shuffle: bool = False,
 ) -> DataFrame:
     """featurize_expr semantics with hot conversations split into
     ts-range chunks that run as parallel tasks.
+
+    ``enum_shuffle=True`` (narrow ``include_text=False`` contract only,
+    see :func:`featurize_expr`) carries ``role``/``tool`` as 64-bit
+    codes through every exchange of BOTH the cold and hot branches and
+    decodes once, after the union, via broadcast dims — bit-identical
+    output, string-free shuffle rows.
 
     ``persist_hot`` caches the hot slice after chunk assignment: the
     salted plan consumes it three times (real rows + two context-copy
@@ -100,6 +107,8 @@ def featurize_salted(
         roll_rows=roll_rows,
         include_text=include_text,
         wide=wide,
+        enum_shuffle=enum_shuffle,
+        _keep_codes=enum_shuffle,
     )
 
     hot = df.join(F.broadcast(hot_census), "conv_id", "left_semi")
@@ -113,8 +122,15 @@ def featurize_salted(
         persist_hot=persist_hot,
         include_text=include_text,
         wide=wide,
+        enum_shuffle=enum_shuffle,
     )
     out = cold_out.unionByName(hot_out.select(cold_out.columns))
+    if enum_shuffle:
+        from astrospectro_spark.engine.windows import enum_decode
+
+        out = enum_decode(
+            out, df, {"role": "role", "tool": "tool", "tool_backfill": "tool"}
+        ).select(cold_out.columns)
     out._astrospectro_cached = handles  # fast path for the exact object
     with _REGISTRY_LOCK:
         _CACHE_REGISTRY.extend(handles)  # survives downstream transformations
@@ -230,6 +246,7 @@ def _featurize_hot(
     persist_hot: bool = True,
     include_text: bool = True,
     wide: bool = False,
+    enum_shuffle: bool = False,
 ) -> tuple[DataFrame, list[DataFrame]]:
     # row-lookback margin: rolling frames need roll_rows-1, wide lag5
     # needs 5, gap-rolling needs WIDE_ROLL10+1 (the oldest gap in a
@@ -241,12 +258,34 @@ def _featurize_hot(
 
     key_cols = KEY_COLS if include_text else [c for c in KEY_COLS if c != "text"]
     text_len = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("int")
+    if enum_shuffle and (wide or include_text):
+        raise ValueError(
+            "enum_shuffle supports the narrow include_text=False contract only"
+        )
     if include_text:
         hot = hot.withColumn("text_len", text_len)
+    elif enum_shuffle:
+        # project corpus → length AND role/tool → 64-bit codes BEFORE
+        # any shuffle/persist; decode happens once in featurize_salted
+        from astrospectro_spark.engine.windows import _enum_code
+
+        hot = hot.select(
+            "conv_id",
+            "turn_idx",
+            _enum_code("role").alias("role"),
+            _enum_code("tool").alias("tool"),
+            "ts",
+            text_len.alias("text_len"),
+        )
     else:
         # project the corpus column down to its length BEFORE any
         # shuffle/persist — same contract as featurize_expr
         hot = hot.select(*key_cols, text_len.alias("text_len"))
+
+    def _role_lit(r: str):
+        from astrospectro_spark.engine.windows import enum_code_lit
+
+        return enum_code_lit(r) if enum_shuffle else F.lit(r)
 
     # ---- 2. range salting: ts-quantile boundaries per hot conv
     bounds = compute_ts_bounds(hot, chunk_target_rows)
@@ -389,7 +428,7 @@ def _featurize_hot(
         ).over(wcum),
         **{
             f"_lc_{r}": F.sum(
-                F.when(is_real & (F.col("role") == r), 1).otherwise(0)
+                F.when(is_real & (F.col("role") == _role_lit(r)), 1).otherwise(0)
             )
             .over(wcum)
             .cast("int")
@@ -699,7 +738,9 @@ def _featurize_hot(
         F.count(F.lit(1)).alias("_n"),
         F.max("_local_sid").alias("_sb_total"),
         *[
-            F.sum(F.when(F.col("role") == r, 1).otherwise(0)).cast("int").alias(f"_c_{r}")
+            F.sum(F.when(F.col("role") == _role_lit(r), 1).otherwise(0))
+            .cast("int")
+            .alias(f"_c_{r}")
             for r in ROLES
         ],
         # rows after the last session boundary (= all rows if none)

@@ -366,6 +366,53 @@ def wide_local_exprs() -> dict[str, Column]:
     }
 
 
+def _enum_code(c: str) -> Column:
+    """64-bit shuffle code for a short string column (NULL stays NULL —
+    ``xxhash64(NULL)`` would return the seed, aliasing NULL with a real
+    value). The code is globally consistent with no dictionary pass:
+    any executor computes the same code for the same string."""
+    return F.when(
+        F.col(c).isNull(), F.lit(None).cast("long")
+    ).otherwise(F.xxhash64(F.col(c)))
+
+
+def enum_code_lit(value: str) -> Column:
+    """The enum code of a literal — constant-folded by Catalyst, so
+    coded-column equality against registry values stays codegen."""
+    return F.xxhash64(F.lit(value))
+
+
+def enum_decode(out: DataFrame, src: DataFrame, cols: dict[str, str]) -> DataFrame:
+    """Decode enum-coded string columns via tiny broadcast dims.
+
+    ``cols`` maps output column → source column (several outputs may
+    share one source dim, e.g. ``tool`` and ``tool_backfill``). Each
+    dim is a column-pruned distinct scan of ``src`` — at 100 TB that
+    reads ONE dictionary-encoded parquet column and partial-aggregates
+    map-side to a handful of rows, which is the trade: a cheap narrow
+    scan buys string-free shuffle rows for the whole wide table. The
+    joins are broadcast (no exchange added). 64-bit codes make a
+    cross-string collision (which would duplicate rows through the dim
+    join) ~2e-20·n² — the row-parity tests would catch one at any
+    realistic domain size."""
+    for out_col, src_col in cols.items():
+        dim = (
+            src.select(src_col)
+            .where(F.col(src_col).isNotNull())
+            .distinct()
+            .select(
+                F.xxhash64(src_col).alias("__code"),
+                F.col(src_col).alias("__str"),
+            )
+        )
+        out = (
+            out.join(F.broadcast(dim), out[out_col] == dim["__code"], "left")
+            .drop(out_col, "__code")
+            .withColumnRenamed("__str", out_col)
+        )
+    return out
+
+
 def _ts_us(col: str = "ts") -> Column:
     """Exact integer microseconds — gap arithmetic stays in int64 and
     divides once, so Spark and the pandas oracle produce bit-identical
@@ -715,8 +762,21 @@ def featurize_expr(
     include_labels: bool = False,
     include_text: bool = True,
     wide: bool = False,
+    enum_shuffle: bool = False,
+    _keep_codes: bool = False,
 ) -> DataFrame:
     """The full per-turn feature vector as ONE window-expression plan.
+
+    ``enum_shuffle=True`` (narrow ``include_text=False`` contract only)
+    replaces the ``role``/``tool`` strings with 64-bit hash codes BELOW
+    the exchange and decodes them back through tiny broadcast dims
+    after the windows — the shuffle rows then carry no string except
+    the conv_id key. Features only need equality on these columns
+    (registry-literal comparisons use the code of the literal), so the
+    output is bit-identical to the string path (pytest-locked).
+    ``_keep_codes`` is internal plumbing for ``featurize_salted``: the
+    cold/hot branches return coded rows and decode ONCE after their
+    union.
 
     Scale notes (100 TB): all windows below share
     ``partitionBy(conv_id)`` — Catalyst plans a single hash exchange on
@@ -733,6 +793,12 @@ def featurize_expr(
     the production featurize-job default; the text-carrying variant
     exists for pipelines that materialise a denormalised table.
     """
+    if enum_shuffle and (wide or include_text):
+        raise ValueError(
+            "enum_shuffle supports the narrow include_text=False contract "
+            "only (the wide tier and text-carrying variant keep strings)"
+        )
+    src = df
     w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     us = _ts_us("ts")
@@ -741,6 +807,16 @@ def featurize_expr(
     if include_text:
         key_cols = KEY_COLS
         df = df.withColumn("text_len", text_len)
+    elif enum_shuffle:
+        key_cols = [c for c in KEY_COLS if c != "text"]
+        df = df.select(
+            "conv_id",
+            "turn_idx",
+            _enum_code("role").alias("role"),
+            _enum_code("tool").alias("tool"),
+            "ts",
+            text_len.alias("text_len"),
+        )
     else:
         key_cols = [c for c in KEY_COLS if c != "text"]
         df = df.select(*key_cols, text_len.alias("text_len"))
@@ -766,7 +842,13 @@ def featurize_expr(
             "_rn": F.row_number().over(w),
             "tool_backfill": F.last("tool", ignorenulls=True).over(wcum),
             **{
-                f"cum_count_{r}": F.sum(F.when(F.col("role") == r, 1).otherwise(0))
+                f"cum_count_{r}": F.sum(
+                    F.when(
+                        F.col("role")
+                        == (enum_code_lit(r) if enum_shuffle else F.lit(r)),
+                        1,
+                    ).otherwise(0)
+                )
                 .over(wcum)
                 .cast("int")
                 for r in ROLES
@@ -823,4 +905,9 @@ def featurize_expr(
             (F.lead(us).over(w) - us).cast("double") / F.lit(1e6),
         )
         cols = cols + LABEL_COLS
-    return df.select(*cols)
+    out = df.select(*cols)
+    if enum_shuffle and not _keep_codes:
+        out = enum_decode(
+            out, src, {"role": "role", "tool": "tool", "tool_backfill": "tool"}
+        ).select(*cols)
+    return out

@@ -3,11 +3,13 @@ with typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 
 The Spark-side plumbing is real and tested — schema contract, Arrow
 batch shape, partition-parallel execution, deterministic output. The
-actual media DECODE is stubbed: this container ships no image/audio
-libraries, so :func:`_decode_real` raises ``NotImplementedError`` and
-the pipeline uses :func:`_decode_fake`, a deterministic
-bytes-derived stand-in (clearly marked; swap ``DECODER`` to plug in
-PIL/librosa/av on a real cluster — the engine code does not change).
+DECODE tiers: PCM WAV audio decodes for real everywhere (stdlib
+``wave`` + numpy); images decode for real when PIL is importable;
+video needs ``av``, which this container lacks, so that kind raises
+``NotImplementedError`` in :func:`_decode_real` and the pipeline falls
+back to :func:`_decode_fake`, a deterministic bytes-derived stand-in
+(clearly marked; the capability gate swaps ONLY the decoder callable —
+the engine code does not change on a real cluster).
 
 Mirrors the reference's pattern of heavy per-item kernels behind a
 once-per-worker init (reference: src/pipeline/processing.py:124-143):
@@ -50,9 +52,11 @@ def _pil_available() -> bool:
 
 
 def _decode_real(payload: bytes, kind: str) -> np.ndarray:
-    """Real decode path: PIL for images (grayscale float64 samples);
-    audio/video would need librosa/av, which this container lacks —
-    those kinds raise so the gap is loud, never silently wrong."""
+    """Real decode path: PIL for images (grayscale float64 samples),
+    stdlib ``wave`` + numpy for PCM WAV audio (float64 samples,
+    channel-averaged to mono — no librosa needed for the PCM tier);
+    video would need ``av``, which this container lacks — that kind
+    raises so the gap is loud, never silently wrong."""
     if kind == "image":
         from io import BytesIO
 
@@ -60,8 +64,28 @@ def _decode_real(payload: bytes, kind: str) -> np.ndarray:
 
         img = Image.open(BytesIO(payload)).convert("L")
         return np.asarray(img, dtype=np.float64).ravel()
+    if kind == "audio":
+        import wave
+        from io import BytesIO
+
+        with wave.open(BytesIO(payload), "rb") as w:
+            width, nch = w.getsampwidth(), w.getnchannels()
+            raw = w.readframes(w.getnframes())
+        if width == 1:  # 8-bit WAV is unsigned, centred at 128
+            samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        elif width == 2:
+            samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        elif width == 4:
+            samples = np.frombuffer(raw, dtype="<i4").astype(np.float64)
+        else:
+            raise NotImplementedError(
+                f"{8 * width}-bit PCM WAV not supported (8/16/32 only)"
+            )
+        if nch > 1:
+            samples = samples.reshape(-1, nch).mean(axis=1)
+        return samples
     raise NotImplementedError(
-        f"real {kind} decode requires librosa/av; not available in this container"
+        f"real {kind} decode requires av; not available in this container"
     )
 
 

@@ -101,7 +101,11 @@ def main() -> None:
         ("featurize_transcripts", lambda: _force(featurize_expr(turns))),
         (
             "featurize_feature_only",
-            lambda: _force(featurize_expr(turns, include_text=False)),
+            # production feature-table contract: text projected to its
+            # length AND role/tool enum-coded below the exchange
+            lambda: _force(
+                featurize_expr(turns, include_text=False, enum_shuffle=True)
+            ),
         ),
         (
             "featurize_wide",

@@ -204,9 +204,52 @@ def test_decoder_capability_gate():
         assert mm.DECODER is mm._decode_fake
         with pytest.raises((NotImplementedError, ImportError)):
             mm._decode_real(b"\x00", "image")
-    # audio/video decode needs librosa/av — loud in every container
+    # video decode needs av — loud in every container; audio is real
+    # everywhere now (stdlib wave), tested separately below
     with pytest.raises(NotImplementedError):
-        mm._decode_real(b"\x00", "audio")
+        mm._decode_real(b"\x00", "video")
+
+
+def test_real_wav_decode_everywhere(spark):
+    """PCM WAV audio decodes for REAL in every container (stdlib wave +
+    numpy, no librosa): 16-bit mono and 8-bit stereo through the same
+    mapInPandas plumbing, mean_val equal to the known samples' mean."""
+    import io
+    import wave as wavmod
+
+    import numpy as np
+
+    from astrospectro_spark.functions import multimodal as mm
+
+    def wav_bytes(samples, width, nch, rate=16_000):
+        buf = io.BytesIO()
+        with wavmod.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            w.writeframes(samples.tobytes())
+        return buf.getvalue()
+
+    mono = (np.arange(-400, 400, dtype="<i2") * 3).astype("<i2")
+    stereo = np.arange(0, 256, dtype=np.uint8)  # 8-bit interleaved L/R
+    media = spark.createDataFrame(
+        [
+            (0, "audio", bytearray(wav_bytes(mono, 2, 1)), 0, 0, 0.05, 16_000),
+            (1, "audio", bytearray(wav_bytes(stereo, 1, 2)), 0, 0, 0.01, 16_000),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    out = (
+        mm.extract_media_features(media, decoder=mm._decode_real)
+        .toPandas()
+        .set_index("media_id")
+    )
+    assert out.loc[0, "mean_val"] == pytest.approx(float(mono.mean()))
+    want_stereo = (stereo.astype(np.float64) - 128.0).reshape(-1, 2).mean(axis=1)
+    assert out.loc[1, "mean_val"] == pytest.approx(float(want_stereo.mean()))
+    # direct-call parity: decoder output is the exact sample vector
+    got = mm._decode_real(wav_bytes(mono, 2, 1), "audio")
+    assert np.array_equal(got, mono.astype(np.float64))
 
 
 def test_decoder_swap_changes_no_plumbing(spark):

@@ -70,7 +70,8 @@ def run_featurize():
     # (conv_id, turn_idx), text projected to text_len BELOW the
     # exchange — the shuffle carries ints, not the corpus
     force(featurize_salted(turns, hot_threshold=400_000,
-                           chunk_target_rows=200_000, include_text=False))
+                           chunk_target_rows=200_000, include_text=False,
+                           enum_shuffle=True))
 
 res = {{}}
 for name, thunk in [

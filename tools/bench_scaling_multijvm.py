@@ -87,7 +87,8 @@ force(featurize_salted(turns.limit(2000)))  # warmup executors/codegen
 
 def run_featurize():
     force(featurize_salted(turns, hot_threshold=400_000,
-                           chunk_target_rows=200_000, include_text=False))
+                           chunk_target_rows=200_000, include_text=False,
+                           enum_shuffle=True))
 
 res = {{}}
 for name, thunk in [

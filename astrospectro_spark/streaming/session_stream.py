@@ -172,7 +172,10 @@ ASOF_ENRICH_SCHEMA = (
     "asof_turn_idx int, asof_role string, tool_backfill string, "
     "asof_gap_s double"
 )
-_ASOF_STATE_SCHEMA = "last_us long, last_idx int, last_role string, last_tool string"
+_ASOF_STATE_SCHEMA = (
+    "has_turn boolean, last_us long, last_idx int, "
+    "last_role string, last_tool string"
+)
 
 
 def stateful_asof_enrich(stream_df: DataFrame, retention: str | None = None):
@@ -243,9 +246,13 @@ def stateful_asof_enrich(stream_df: DataFrame, retention: str | None = None):
             yield empty
             return
         if state.exists:
-            last_us, last_idx, last_role, last_tool = state.get
+            has_turn, last_us, last_idx, last_role, last_tool = state.get
         else:
-            last_us, last_idx, last_role, last_tool = (-1, -1, None, None)
+            # explicit has_turn flag, NOT a sentinel timestamp: pre-1970
+            # event times are negative epoch micros and must remain
+            # distinguishable from "no turn seen yet"
+            has_turn, last_us, last_idx, last_role, last_tool = (
+                False, 0, -1, None, None)
         out = []
         chunks = [p for p in pdf_iter if len(p)]
         if chunks:
@@ -257,11 +264,12 @@ def stateful_asof_enrich(stream_df: DataFrame, retention: str | None = None):
             for i, r in enumerate(g.itertuples(index=False)):
                 us = int(us_arr[i])
                 if r.kind == "turn":
-                    last_us, last_idx, last_role = us, int(r.turn_idx), r.role
+                    has_turn, last_us, last_idx, last_role = (
+                        True, us, int(r.turn_idx), r.role)
                     if r.tool is not None and not _pd.isna(r.tool):
                         last_tool = r.tool
                 else:
-                    matched = last_us >= 0 and last_us <= us
+                    matched = has_turn and last_us <= us
                     out.append(
                         {
                             "conv_id": conv_id,
@@ -273,14 +281,13 @@ def stateful_asof_enrich(stream_df: DataFrame, retention: str | None = None):
                             "asof_gap_s": (us - last_us) / 1e6 if matched else None,
                         }
                     )
-        state.update((last_us, last_idx, last_role, last_tool))
+        state.update((has_turn, last_us, last_idx, last_role, last_tool))
         if retention_ms is not None:
             # evict when the WATERMARK passes last-activity + retention;
             # must be set strictly beyond the current watermark
             wm = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(
-                max(last_us // 1000 + retention_ms, wm + 1)
-            )
+            last_ms = last_us // 1000 if has_turn else wm
+            state.setTimeoutTimestamp(max(last_ms + retention_ms, wm + 1))
         yield _pd.DataFrame(
             out,
             columns=[

@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -451,3 +452,72 @@ def test_asof_enrich_no_ttl_keeps_state_forever(spark, tmp_path):
     assert a["conv_id"] == "A" and a["asof_turn_idx"] == 0
     assert a["tool_backfill"] == "exec"
     assert b["asof_turn_idx"] == 2
+
+
+def test_stateful_asof_pre1970_turns_match(spark, tmp_path):
+    """Round-4 ADVICE: a turn with a NEGATIVE epoch timestamp (pre-1970)
+    must still match later anchors — the state carries an explicit
+    has_turn flag, not a sentinel timestamp sign."""
+    import time
+
+    from astrospectro_spark.streaming import stateful_asof_enrich
+
+    rows = [
+        # conv 'old': one turn in 1969 (negative micros), anchor in 1970
+        ("old", "turn", 0, "user", "hammer", "1969-12-31 23:00:00", None),
+        ("old", "anchor", None, None, None, "1970-01-01 00:10:00", 1),
+        # conv 'neg': anchor BEFORE any turn, also pre-1970 → NULL match
+        ("neg", "anchor", None, None, None, "1969-12-30 00:00:00", 2),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["conv_id", "kind", "turn_idx", "role", "tool", "s", "anchor_id"],
+    )
+    src = tmp_path / "pre1970_feed"
+    src.mkdir()
+    halves = [pdf.iloc[:1], pdf.iloc[1:]]
+    schema = (
+        "conv_id string, kind string, turn_idx int, role string, "
+        "tool string, ts timestamp, anchor_id long"
+    )
+    for i, part in enumerate(halves):
+        sdf = (
+            spark.createDataFrame(
+                part.astype(object).where(part.notna(), None),
+                "conv_id string, kind string, turn_idx int, role string, "
+                "tool string, s string, anchor_id long",
+            )
+            .withColumn("ts", F.col("s").cast("timestamp"))
+            .drop("s")
+            .select(
+                "conv_id", "kind", "turn_idx", "role", "tool", "ts", "anchor_id"
+            )
+        )
+        sdf.coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"part-{i:03d}.parquet")
+        )
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "part-*.parquet"))
+    )
+    q = (
+        stateful_asof_enrich(stream)
+        .writeStream.format("memory")
+        .queryName("asof_pre1970")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from asof_pre1970")
+        .toPandas()
+        .set_index("anchor_id")
+    )
+    assert got.loc[1, "asof_turn_idx"] == 0  # pre-1970 turn matched
+    assert got.loc[1, "tool_backfill"] == "hammer"
+    assert got.loc[1, "asof_gap_s"] == pytest.approx(4200.0)
+    assert pd.isna(got.loc[2, "asof_turn_idx"])  # no turn yet → NULL

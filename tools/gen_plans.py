@@ -78,6 +78,26 @@ def main() -> None:
             ],
         )
     )
+    fe_en = featurize_expr(turns, include_text=False, enum_shuffle=True)
+    p_en = formatted(spark, fe_en)
+    en_schema = ""
+    m = re.search(r"^\(\d+\) Exchange\n(.*?)(?=^\(\d+\))", p_en, re.M | re.S)
+    if m:
+        arg = re.search(r"Input \[\d+\]: \[([^\]]*)\]", m.group(1))
+        en_schema = arg.group(1) if arg else ""
+    sections.append(
+        (
+            "featurize_expr enum_shuffle=True — string-free shuffle rows",
+            p_en,
+            [
+                "Exchange input columns: `" + en_schema + "`",
+                "role/tool cross the exchange as 64-bit codes (`L` suffix); "
+                "the only string in the shuffle row is the conv_id key. "
+                "Decode = 3 broadcast joins against column-pruned distinct "
+                "dims after the windows (no exchange added).",
+            ],
+        )
+    )
     add(
         "featurize_expr wide=True — 163-feature wide tier, still ONE exchange",
         featurize_expr(turns, wide=True),

@@ -217,10 +217,35 @@ def commit(
         expected_snapshot_id = current_snapshot_id(table_dir)
     os.makedirs(_snap_dir(table_dir), exist_ok=True)
 
+    new_entries, summary = _write_data_files(table_dir, df, partition)
+
+    if operation == "append" and expected_snapshot_id is not None:
+        parent = _load_snapshot(table_dir, expected_snapshot_id)
+        manifest = parent["manifest"] + new_entries
+    elif operation in ("append", "overwrite"):
+        manifest = new_entries
+    else:
+        raise ValueError(f"unknown operation: {operation}")
+
+    return _commit_snapshot(
+        table_dir,
+        manifest,
+        operation,
+        expected_snapshot_id,
+        {**summary, "partition": partition},
+    )
+
+
+def _write_data_files(
+    table_dir: str, df: DataFrame, partition: str | None
+) -> tuple[list[dict], dict]:
+    """Write ``df`` as immutable parquet files under a fresh per-commit
+    directory; return (manifest entries with footer stats, lineage
+    summary of what LANDED). Timestamps are forced to TIMESTAMP_MICROS
+    for this write even under a foreign session: INT96 (the legacy
+    default) has no footer min/max, which would silently disable ts
+    data skipping on every file this table ever commits."""
     files_dir = os.path.join(table_dir, "data", uuid.uuid4().hex)
-    # force µs timestamps for THIS write even under a foreign session:
-    # INT96 (legacy default) has no footer min/max, which would silently
-    # disable ts data skipping on every file this table ever commits
     conf = df.sparkSession.conf
     prev_ts_type = conf.get("spark.sql.parquet.outputTimestampType")
     conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -241,15 +266,138 @@ def commit(
     # input plan — a plan re-run would double-execute expensive lineage
     # (joins, LSH) and could observe different data on a live source
     summary = _lineage_summary(df.sparkSession.read.parquet(files_dir))
+    return new_entries, summary
 
-    if operation == "append" and expected_snapshot_id is not None:
-        parent = _load_snapshot(table_dir, expected_snapshot_id)
-        manifest = parent["manifest"] + new_entries
-    elif operation in ("append", "overwrite"):
-        manifest = new_entries
-    else:
-        raise ValueError(f"unknown operation: {operation}")
 
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    partition: str | None = None,
+    target_partitions: int = 1,
+) -> int | None:
+    """Small-file compaction (Iceberg's ``rewrite_data_files``): rewrite
+    the live files of one ``partition`` tag (or the whole live set)
+    into ``target_partitions`` output files, committed as one atomic
+    ``compact`` snapshot whose manifest keeps every untouched entry.
+
+    Content-preserving by construction (the commit summary re-checksums
+    what landed; the test asserts checksum equality with the
+    pre-compaction snapshot), CAS-protected against concurrent writers,
+    and time travel to pre-compaction snapshots keeps working because
+    data files are immutable — old snapshots still reference the old
+    files until :func:`expire_snapshots` retires them.
+
+    Returns the new snapshot id, or None when the group already has
+    ≤1 file (nothing to compact). At 100 TB this is the maintenance
+    job that keeps scan task counts sane after many small streaming /
+    per-bucket appends (reference analog: the reference re-batches
+    per-chunk outputs into one catalog, SURVEY §2.1 S4/S5)."""
+    sid = current_snapshot_id(table_dir)
+    if sid is None:
+        return None
+    entries = _load_snapshot(table_dir, sid)["manifest"]
+    group = [
+        e for e in entries if partition is None or e["partition"] == partition
+    ]
+    if len(group) <= 1:
+        return None
+    keep = [e for e in entries if e not in group]
+    df = spark.read.parquet(*[e["path"] for e in group]).repartition(
+        max(1, int(target_partitions))
+    )
+    new_entries, summary = _write_data_files(table_dir, df, partition)
+    return _commit_snapshot(
+        table_dir,
+        keep + new_entries,
+        "compact",
+        sid,
+        {
+            **summary,
+            "partition": partition,
+            "rewrote_files": len(group),
+            "into_files": len(new_entries),
+        },
+    )
+
+
+def expire_snapshots(
+    table_dir: str,
+    keep_last: int = 1,
+    delete_orphans: bool = False,
+    orphan_grace_s: float = 3600.0,
+) -> dict:
+    """Retire history (Iceberg's ``expire_snapshots`` +
+    ``remove_orphan_files``): drop all but the ``keep_last`` most
+    recent snapshots and DELETE data files referenced only by the
+    dropped ones. With ``delete_orphans``, also remove data files
+    referenced by NO snapshot at all (crashed writers' leftovers)
+    once older than ``orphan_grace_s`` — the grace window keeps an
+    in-flight commit's freshly written files safe.
+
+    Time travel contracts shrink explicitly: reads of an expired
+    snapshot raise, reads of every retained snapshot are untouched
+    (their files are never deleted). Returns counts for the audit
+    trail."""
+    sd = _snap_dir(table_dir)
+    snaps = sorted(
+        n for n in os.listdir(sd) if n.startswith("v") and n.endswith(".json")
+    )
+    keep_last = max(1, int(keep_last))
+    drop, keep = snaps[:-keep_last], snaps[-keep_last:]
+    live: set[str] = set()
+    for name in keep:
+        with open(os.path.join(sd, name)) as f:
+            live.update(e["path"] for e in json.load(f)["manifest"])
+    removed_files = 0
+    for name in drop:
+        with open(os.path.join(sd, name)) as f:
+            for e in json.load(f)["manifest"]:
+                if e["path"] not in live and os.path.exists(e["path"]):
+                    os.unlink(e["path"])
+                    removed_files += 1
+        os.unlink(os.path.join(sd, name))
+    removed_orphans = 0
+    if delete_orphans:
+        referenced = set(live)
+        for name in os.listdir(sd):
+            if name.startswith("v") and name.endswith(".json"):
+                with open(os.path.join(sd, name)) as f:
+                    referenced.update(
+                        e["path"] for e in json.load(f)["manifest"]
+                    )
+        data_root = os.path.join(table_dir, "data")
+        now = time.time()
+        if os.path.isdir(data_root):
+            for dirpath, _dirs, files in os.walk(data_root):
+                for fn in files:
+                    p = os.path.join(dirpath, fn)
+                    if (
+                        fn.endswith(".parquet")
+                        and p not in referenced
+                        and now - os.path.getmtime(p) > orphan_grace_s
+                    ):
+                        os.unlink(p)
+                        removed_orphans += 1
+    return {
+        "expired_snapshots": len(drop),
+        "removed_files": removed_files,
+        "removed_orphans": removed_orphans,
+    }
+
+
+def _commit_snapshot(
+    table_dir: str,
+    manifest: list[dict],
+    operation: str,
+    expected_snapshot_id: int | None,
+    summary: dict,
+) -> int:
+    """CAS-publish a snapshot whose manifest is already assembled.
+
+    Two writers racing from the same parent target the SAME v-file;
+    O_EXCL creation makes exactly one win (the loser gets
+    FileExistsError → CommitConflict) — the manifest file itself is
+    the compare-and-swap token, as in Iceberg's metadata commit."""
     snap_id = (expected_snapshot_id or 0) + 1
     snap = {
         "snapshot_id": snap_id,
@@ -257,14 +405,10 @@ def commit(
         "operation": operation,
         "committed_at": time.time(),
         "manifest": manifest,
-        "summary": {**summary, "partition": partition},
+        "summary": summary,
     }
     snap_path = os.path.join(_snap_dir(table_dir), f"v{snap_id:08d}.json")
 
-    # CAS: two writers racing from the same parent target the SAME
-    # v-file; O_EXCL creation makes exactly one win (the loser gets
-    # FileExistsError → CommitConflict) — the manifest file itself is
-    # the compare-and-swap token, as in Iceberg's metadata commit.
     if current_snapshot_id(table_dir) != expected_snapshot_id:
         raise CommitConflict(
             f"table advanced past snapshot {expected_snapshot_id}"

@@ -281,3 +281,86 @@ def test_stats_skipping_opens_only_matching_files(spark, table):
     # files without stats for the column are conservatively KEPT
     entries_probe = resolve_files(table, stats_filter={"no_such_col": (0, 1)})
     assert len(entries_probe) == 3
+
+
+def test_compact_rewrites_small_files_preserving_content(spark, table):
+    """Five per-bucket appends → one compact snapshot: fewer files,
+    identical content checksum, untouched partitions left alone, and
+    time travel to the pre-compaction state still works."""
+    from astrospectro_spark.sources.snapshot_log import (
+        compact,
+        resolve_files,
+    )
+
+    for b in range(5):
+        commit(table, _df(spark, b * 10, b * 10 + 10).coalesce(2),
+               "append", partition="hot")
+    commit(table, _df(spark, 100, 110).coalesce(1), "append", partition="cold")
+    pre_sid = current_snapshot_id(table)
+    pre_files = resolve_files(table, partition="hot")
+    assert len(pre_files) == 10  # 5 commits x 2 files
+    pre_sum = history(table)
+
+    sid = compact(spark, table, partition="hot", target_partitions=1)
+    assert sid == pre_sid + 1
+    post_files = resolve_files(table, partition="hot")
+    assert len(post_files) == 1
+    # cold partition untouched (same file paths)
+    assert resolve_files(table, partition="cold") == resolve_files(
+        table, pre_sid, partition="cold"
+    )
+    # content identical: same rows
+    got = {r.id for r in read_table(spark, table).collect()}
+    assert got == set(range(50)) | set(range(100, 110))
+    # time travel to pre-compaction still resolves the old files
+    assert read_table(spark, table, snapshot_id=pre_sid).count() == 60
+    assert history(table)[-1]["operation"] == "compact"
+    # compacting a single-file group is a no-op
+    assert compact(spark, table, partition="cold") is None
+    del pre_sum
+
+
+def test_expire_snapshots_and_orphan_gc(spark, table):
+    """Expiry drops old snapshots AND their exclusively-referenced data
+    files; retained snapshots read untouched; orphan files from crashed
+    writers are GC'd past the grace window."""
+    import os
+    import uuid as _uuid
+
+    from astrospectro_spark.sources.snapshot_log import (
+        compact,
+        expire_snapshots,
+        resolve_files,
+    )
+
+    for b in range(3):
+        commit(table, _df(spark, b * 10, b * 10 + 10), "append", partition="p")
+    compact(spark, table, partition="p", target_partitions=1)
+    pre_latest = current_snapshot_id(table)
+    old_files = resolve_files(table, snapshot_id=1)
+
+    # plant a crashed-writer orphan: data files referenced by NO snapshot
+    orphan_dir = os.path.join(table, "data", _uuid.uuid4().hex)
+    _df(spark, 900, 910).coalesce(1).write.parquet(orphan_dir)
+    orphan_files = [
+        os.path.join(orphan_dir, f)
+        for f in os.listdir(orphan_dir)
+        if f.endswith(".parquet")
+    ]
+    old_mtime = os.path.getmtime(orphan_files[0]) - 7200
+    for p in orphan_files:
+        os.utime(p, (old_mtime, old_mtime))
+
+    report = expire_snapshots(
+        table, keep_last=1, delete_orphans=True, orphan_grace_s=3600
+    )
+    assert report["expired_snapshots"] == pre_latest - 1
+    assert report["removed_files"] > 0
+    assert report["removed_orphans"] == len(orphan_files)
+    # retained snapshot reads fine, full content
+    assert read_table(spark, table).count() == 30
+    assert current_snapshot_id(table) == pre_latest
+    # expired snapshot is gone: metadata AND its exclusive files
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, table, snapshot_id=1)
+    assert any(not os.path.exists(p) for p in old_files)

@@ -45,6 +45,14 @@ def build_parser() -> argparse.ArgumentParser:
         "source by (conv_id, turn_idx) when needed)",
     )
     p.add_argument(
+        "--enum-shuffle",
+        action="store_true",
+        help="carry role/tool through the exchanges as 64-bit codes "
+        "(string-free shuffle rows; decoded via broadcast dims after "
+        "the windows — bit-identical output). Narrow tier only: "
+        "ignored, with a warning, when --wide or --include-text is set",
+    )
+    p.add_argument(
         "--wide",
         action="store_true",
         help="emit the full 175-column locked wide tier (rolling "
@@ -66,6 +74,12 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="featurize_job", master=args.master)
     turns = spark.read.parquet(args.input)
 
+    enum_shuffle = bool(getattr(args, "enum_shuffle", False))
+    if enum_shuffle and (args.wide or args.include_text):
+        print("warning: --enum-shuffle applies to the narrow "
+              "feature-table contract only; ignoring it", file=sys.stderr)
+        enum_shuffle = False
+
     def featurizer(df):
         return featurize_salted(
             df,
@@ -74,6 +88,7 @@ def main(argv: list[str] | None = None) -> int:
             chunk_target_rows=args.chunk_rows,
             include_text=args.include_text,
             wide=args.wide,
+            enum_shuffle=enum_shuffle,
         )
 
     run = FeatureRun(

@@ -126,11 +126,9 @@ def featurize_salted(
     )
     out = cold_out.unionByName(hot_out.select(cold_out.columns))
     if enum_shuffle:
-        from astrospectro_spark.engine.windows import enum_decode
+        from astrospectro_spark.engine.windows import enum_decode, enum_decode_map
 
-        out = enum_decode(
-            out, df, {"role": "role", "tool": "tool", "tool_backfill": "tool"}
-        ).select(cold_out.columns)
+        out = enum_decode(out, df, enum_decode_map(wide)).select(cold_out.columns)
     out._astrospectro_cached = handles  # fast path for the exact object
     with _REGISTRY_LOCK:
         _CACHE_REGISTRY.extend(handles)  # survives downstream transformations
@@ -258,17 +256,24 @@ def _featurize_hot(
 
     key_cols = KEY_COLS if include_text else [c for c in KEY_COLS if c != "text"]
     text_len = F.length(F.coalesce(F.col("text"), F.lit(""))).cast("int")
-    if enum_shuffle and (wide or include_text):
+    if enum_shuffle and include_text:
         raise ValueError(
-            "enum_shuffle supports the narrow include_text=False contract only"
+            "enum_shuffle supports the include_text=False contract only"
         )
     if include_text:
         hot = hot.withColumn("text_len", text_len)
     elif enum_shuffle:
         # project corpus → length AND role/tool → 64-bit codes BEFORE
-        # any shuffle/persist; decode happens once in featurize_salted
+        # any shuffle/persist; decode happens once in featurize_salted.
+        # tool_len (a row-local wide feature of the STRING) is staged
+        # here too — a code carries no length.
         from astrospectro_spark.engine.windows import _enum_code
 
+        extra = (
+            [F.coalesce(F.length("tool"), F.lit(0)).cast("int").alias("tool_len")]
+            if wide
+            else []
+        )
         hot = hot.select(
             "conv_id",
             "turn_idx",
@@ -276,6 +281,7 @@ def _featurize_hot(
             _enum_code("tool").alias("tool"),
             "ts",
             text_len.alias("text_len"),
+            *extra,
         )
     else:
         # project the corpus column down to its length BEFORE any
@@ -484,7 +490,7 @@ def _featurize_hot(
                     F.greatest(F.lit(0.0), w20_m2 - w20_m * w20_m)
                 ),
                 "roll_assistant_rate_10": F.sum(
-                    (F.col("role") == "assistant").cast("int")
+                    (F.col("role") == _role_lit("assistant")).cast("int")
                 ).over(w10)
                 / F.count(F.lit(1)).over(w10),
                 "roll_tool_rate_10": F.sum(
@@ -652,10 +658,10 @@ def _featurize_hot(
                 "day_of_week": F.dayofweek("ts").cast("int"),
                 "hour_of_day": F.hour("ts").cast("int"),
                 "minute_of_hour": F.minute("ts").cast("int"),
-                "is_assistant": (F.col("role") == "assistant").cast("int"),
-                "is_system": (F.col("role") == "system").cast("int"),
-                "is_tool": (F.col("role") == "tool").cast("int"),
-                "is_user": (F.col("role") == "user").cast("int"),
+                "is_assistant": (F.col("role") == _role_lit("assistant")).cast("int"),
+                "is_system": (F.col("role") == _role_lit("system")).cast("int"),
+                "is_tool": (F.col("role") == _role_lit("tool")).cast("int"),
+                "is_user": (F.col("role") == _role_lit("user")).cast("int"),
                 "is_weekend": F.dayofweek("ts").isin(1, 7).cast("int"),
                 "log1p_text_len": F.log1p(tl),
                 "sigmoid_text_len": F.lit(1.0)
@@ -666,7 +672,7 @@ def _featurize_hot(
                 - F.col("gap_roll_min_5"),
             }
         )
-        u = u.withColumns(wide_local_exprs())
+        u = u.withColumns(wide_local_exprs(enum_shuffle))
     local = u.filter(is_real).drop("_ctx")
 
     # ---- 5. stitch: per-chunk summary → exclusive prefix offsets

@@ -244,23 +244,32 @@ FEATURE_SCHEMA = (
 _TAU = 6.283185307179586  # 2π, identical literal in the pandas oracle
 
 
-def _tool_len_e() -> Column:
-    """tool-name length with NULL→0 (mirrors text_len's coalesce)."""
-    return F.coalesce(F.length("tool"), F.lit(0)).cast("int")
-
-
-def wide_local_exprs() -> dict[str, Column]:
+def wide_local_exprs(enum_shuffle: bool = False) -> dict[str, Column]:
     """Row-local wide-tier composites (the graft of the reference's
     post-merge composite battery, src/pipeline/feature_engineering.py:
     1403-1712): pure per-row expressions over already-present columns
     (``text_len``, ``lag1_ts_gap_s``, ``prev_role``, ``tool``, ``ts``).
     Shared verbatim by the plain and the salted featurizers — row-local
     expressions commute with chunking, so parity holds by construction.
-    ``prev_role`` and ``lag1_ts_gap_s`` must exist before applying."""
+    ``prev_role`` and ``lag1_ts_gap_s`` must exist before applying.
+
+    ``enum_shuffle``: role/prev_role hold 64-bit codes, ``tool_len`` is
+    already staged below the exchange (length can't be read off a
+    code), and registry comparisons use constant-folded code literals —
+    value-identical outputs, locked by the wide bit-parity tests."""
     tl = F.col("text_len")
     tll = tl.cast("long")
     ssx = (tl - 300) / F.lit(150.0)
     nsx = (tl - 300) / F.lit(50.0)
+
+    def rlit(r: str) -> Column:
+        return enum_code_lit(r) if enum_shuffle else F.lit(r)
+
+    tool_len = (
+        F.col("tool_len")
+        if enum_shuffle
+        else F.coalesce(F.length("tool"), F.lit(0)).cast("int")
+    )
     return {
         "clip_text_len_600": F.least(F.greatest(tl, F.lit(50)), F.lit(600)).cast("double"),
         "day_of_month": F.dayofmonth("ts").cast("int"),
@@ -280,7 +289,7 @@ def wide_local_exprs() -> dict[str, Column]:
         / (F.lit(1.0) + F.exp(-(tl - 200) / F.lit(20.0))),
         "text_len_cube_scaled": (tll * tll * tll).cast("double") / F.lit(1_000_000.0),
         "text_len_is_even": (tl % 2 == 0).cast("int"),
-        "tool_len": F.coalesce(F.length("tool"), F.lit(0)).cast("int"),
+        "tool_len": tool_len,
         "week_of_month": (F.floor((F.dayofmonth("ts") - 1) / 7) + 1).cast("long"),
         # least/greatest SKIP nulls in Spark (unlike numpy's NaN
         # propagation), so the first-row null gap must be guarded
@@ -297,10 +306,12 @@ def wide_local_exprs() -> dict[str, Column]:
         "is_business_hours": F.hour("ts").between(9, 17).cast("int"),
         "is_empty_text": (tl == 0).cast("int"),
         "is_long_text": (tl > 500).cast("int"),
-        "is_prev_assistant": F.when(F.col("prev_role") == "assistant", 1)
+        "is_prev_assistant": F.when(F.col("prev_role") == rlit("assistant"), 1)
         .otherwise(0)
         .cast("int"),
-        "is_prev_user": F.when(F.col("prev_role") == "user", 1).otherwise(0).cast("int"),
+        "is_prev_user": F.when(F.col("prev_role") == rlit("user"), 1)
+        .otherwise(0)
+        .cast("int"),
         "log1p_gap": F.when(
             F.col("lag1_ts_gap_s").isNotNull(),
             F.log1p(F.greatest(F.col("lag1_ts_gap_s"), F.lit(0.0))),
@@ -332,9 +343,9 @@ def wide_local_exprs() -> dict[str, Column]:
             (F.col("lag1_ts_gap_s") > 600).cast("double"),
         ),
         "gap_over_text": F.col("lag1_ts_gap_s") / (tl + 1),
-        "geo_mean_text_tool": F.sqrt(tll * _tool_len_e()),
-        "harmonic_text_tool": (F.lit(2) * tll * _tool_len_e()).cast("double")
-        / (tll + _tool_len_e() + F.lit(1)),
+        "geo_mean_text_tool": F.sqrt(tll * tool_len),
+        "harmonic_text_tool": (F.lit(2) * tll * tool_len).cast("double")
+        / (tll + tool_len + F.lit(1)),
         "is_dawn": ((F.hour("ts") >= 6) & (F.hour("ts") < 9)).cast("int"),
         "is_evening": (F.hour("ts") >= 18).cast("int"),
         "is_first_turn": F.col("lag1_ts_gap_s").isNull().cast("int"),
@@ -343,10 +354,10 @@ def wide_local_exprs() -> dict[str, Column]:
         "log10_text_len": F.when(tl > 0, F.log10(tl)),
         "logg_proxy_idx": F.lit(0.6) * F.log1p(tl) + F.lit(0.4) * F.sqrt(tl),
         "minute_of_day": (F.hour("ts") * 60 + F.minute("ts")).cast("int"),
-        "role_code": F.when(F.col("role") == "assistant", 1)
-        .when(F.col("role") == "user", 2)
-        .when(F.col("role") == "system", 3)
-        .when(F.col("role") == "tool", 4)
+        "role_code": F.when(F.col("role") == rlit("assistant"), 1)
+        .when(F.col("role") == rlit("user"), 2)
+        .when(F.col("role") == rlit("system"), 3)
+        .when(F.col("role") == rlit("tool"), 4)
         .otherwise(0)
         .cast("int"),
         "second_of_minute": F.second("ts").cast("int"),
@@ -361,8 +372,8 @@ def wide_local_exprs() -> dict[str, Column]:
         + F.lit(0.2)
         * F.greatest(F.lit(0.0), F.least(F.lit(1.0), (tl - 100) / F.lit(400.0))),
         "text_kb_bucket": F.floor(tl / F.lit(1024)).cast("long"),
-        "text_minus_tool": (tl - _tool_len_e()).cast("int"),
-        "text_tool_ratio": tl / (_tool_len_e() + F.lit(1)),
+        "text_minus_tool": (tl - tool_len).cast("int"),
+        "text_tool_ratio": tl / (tool_len + F.lit(1)),
     }
 
 
@@ -421,7 +432,7 @@ def _ts_us(col: str = "ts") -> Column:
     return F.unix_micros(F.col(col).cast("timestamp"))
 
 
-def _wide_exprs(df, w, wcum, us, roll_rows, gap_s) -> DataFrame:
+def _wide_exprs(df, w, wcum, us, roll_rows, gap_s, enum_shuffle=False) -> DataFrame:
     """The wide feature tier, computed in DEPENDENCY LAYERS: each layer
     is one projection of mutually independent window expressions, so
     Catalyst extracts the whole layer into a single WindowExec pass
@@ -447,6 +458,11 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s) -> DataFrame:
     grouped paths produce bit-identical doubles. Requires ``_sb``,
     ``_rn``, ``_gap_us`` staged by :func:`featurize_expr`.
     """
+    def _rl(r: str) -> Column:
+        # registry literal in whatever shape `role` currently has:
+        # plain string, or its constant-folded 64-bit code
+        return enum_code_lit(r) if enum_shuffle else F.lit(r)
+
     w5 = w.rowsBetween(-(roll_rows - 1), Window.currentRow)
     w10 = w.rowsBetween(-(WIDE_ROLL10 - 1), Window.currentRow)
     w20 = w.rowsBetween(-(WIDE_ROLL20 - 1), Window.currentRow)
@@ -552,7 +568,7 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s) -> DataFrame:
                 F.greatest(F.lit(0.0), w20_m2 - w20_m * w20_m)
             ),
             "roll_assistant_rate_10": F.sum(
-                (F.col("role") == "assistant").cast("int")
+                (F.col("role") == _rl("assistant")).cast("int")
             ).over(w10)
             / F.count(F.lit(1)).over(w10),
             "roll_tool_rate_10": F.sum(F.col("tool").isNotNull().cast("int")).over(
@@ -719,10 +735,10 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s) -> DataFrame:
             "day_of_week": F.dayofweek("ts").cast("int"),
             "hour_of_day": F.hour("ts").cast("int"),
             "minute_of_hour": F.minute("ts").cast("int"),
-            "is_assistant": (F.col("role") == "assistant").cast("int"),
-            "is_system": (F.col("role") == "system").cast("int"),
-            "is_tool": (F.col("role") == "tool").cast("int"),
-            "is_user": (F.col("role") == "user").cast("int"),
+            "is_assistant": (F.col("role") == _rl("assistant")).cast("int"),
+            "is_system": (F.col("role") == _rl("system")).cast("int"),
+            "is_tool": (F.col("role") == _rl("tool")).cast("int"),
+            "is_user": (F.col("role") == _rl("user")).cast("int"),
             "is_weekend": F.dayofweek("ts").isin(1, 7).cast("int"),
             "log1p_text_len": F.log1p(tl),
             "sigmoid_text_len": F.lit(1.0)
@@ -731,7 +747,7 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s) -> DataFrame:
             / F.lit(86_400_000_000.0),
         }
     )
-    df = df.withColumns(wide_local_exprs())
+    df = df.withColumns(wide_local_exprs(enum_shuffle))
     return df
 
 
@@ -793,10 +809,10 @@ def featurize_expr(
     the production featurize-job default; the text-carrying variant
     exists for pipelines that materialise a denormalised table.
     """
-    if enum_shuffle and (wide or include_text):
+    if enum_shuffle and include_text:
         raise ValueError(
-            "enum_shuffle supports the narrow include_text=False contract "
-            "only (the wide tier and text-carrying variant keep strings)"
+            "enum_shuffle supports the include_text=False feature-table "
+            "contract only (the text-carrying variant keeps strings)"
         )
     src = df
     w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
@@ -809,6 +825,13 @@ def featurize_expr(
         df = df.withColumn("text_len", text_len)
     elif enum_shuffle:
         key_cols = [c for c in KEY_COLS if c != "text"]
+        # tool_len is a row-local wide feature of the STRING; staged
+        # below the exchange because a code carries no length
+        extra = (
+            [F.coalesce(F.length("tool"), F.lit(0)).cast("int").alias("tool_len")]
+            if wide
+            else []
+        )
         df = df.select(
             "conv_id",
             "turn_idx",
@@ -816,6 +839,7 @@ def featurize_expr(
             _enum_code("tool").alias("tool"),
             "ts",
             text_len.alias("text_len"),
+            *extra,
         )
     else:
         key_cols = [c for c in KEY_COLS if c != "text"]
@@ -895,7 +919,7 @@ def featurize_expr(
     df = df.withColumn("rate_60s", F.count(F.lit(1)).over(wrange).cast("double"))
     cols = key_cols + FEATURE_COLS
     if wide:
-        df = _wide_exprs(df, w, wcum, us, roll_rows, gap_s)
+        df = _wide_exprs(df, w, wcum, us, roll_rows, gap_s, enum_shuffle)
         cols = cols + WIDE_FEATURE_COLS
     if include_labels:
         df = df.withColumn(
@@ -907,7 +931,13 @@ def featurize_expr(
         cols = cols + LABEL_COLS
     out = df.select(*cols)
     if enum_shuffle and not _keep_codes:
-        out = enum_decode(
-            out, src, {"role": "role", "tool": "tool", "tool_backfill": "tool"}
-        ).select(*cols)
+        out = enum_decode(out, src, enum_decode_map(wide)).select(*cols)
     return out
+
+
+def enum_decode_map(wide: bool) -> dict[str, str]:
+    """Coded output column → source dim column, per tier."""
+    m = {"role": "role", "tool": "tool", "tool_backfill": "tool"}
+    if wide:
+        m["prev_role"] = "role"
+    return m

@@ -49,8 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="carry role/tool through the exchanges as 64-bit codes "
         "(string-free shuffle rows; decoded via broadcast dims after "
-        "the windows — bit-identical output). Narrow tier only: "
-        "ignored, with a warning, when --wide or --include-text is set",
+        "the windows — bit-identical output). Applies to the narrow "
+        "AND --wide feature-table contracts; ignored, with a warning, "
+        "when --include-text is set",
     )
     p.add_argument(
         "--wide",
@@ -75,9 +76,9 @@ def main(argv: list[str] | None = None) -> int:
     turns = spark.read.parquet(args.input)
 
     enum_shuffle = bool(getattr(args, "enum_shuffle", False))
-    if enum_shuffle and (args.wide or args.include_text):
-        print("warning: --enum-shuffle applies to the narrow "
-              "feature-table contract only; ignoring it", file=sys.stderr)
+    if enum_shuffle and args.include_text:
+        print("warning: --enum-shuffle applies to the feature-table "
+              "contract (no --include-text); ignoring it", file=sys.stderr)
         enum_shuffle = False
 
     def featurizer(df):

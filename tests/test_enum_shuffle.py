@@ -108,12 +108,73 @@ def test_enum_shuffle_exchange_carries_no_strings_but_key(spark, transcripts_sdf
     assert saw_codes, plan
 
 
-def test_enum_shuffle_rejects_wide_and_text(spark, transcripts_sdf):
+def test_enum_shuffle_rejects_text_variant(spark, transcripts_sdf):
+    """enum requires the feature-table contract: the text-carrying
+    variant ships the corpus through the exchange anyway, so coding
+    role/tool there would be pointless complexity — rejected loudly.
+    (The wide tier IS supported since round 5.)"""
     from astrospectro_spark.engine.windows import featurize_expr
 
     with pytest.raises(ValueError):
         featurize_expr(transcripts_sdf, enum_shuffle=True)  # include_text
-    with pytest.raises(ValueError):
+
+
+def test_enum_shuffle_bit_parity_wide_expr(spark, transcripts_sdf):
+    """Wide tier (175 locked columns incl. prev_role strings and
+    tool_len string-derived ints): enum path bit-identical."""
+    from astrospectro_spark.engine.windows import featurize_expr
+
+    want = _sorted(featurize_expr(transcripts_sdf, include_text=False, wide=True))
+    got = _sorted(
         featurize_expr(
             transcripts_sdf, include_text=False, wide=True, enum_shuffle=True
         )
+    )
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_enum_shuffle_bit_parity_wide_salted(spark, transcripts_sdf):
+    """Salted wide path with chunking forced on: coded cold+hot
+    branches, one decode after the union, 175-column bit parity."""
+    from astrospectro_spark.engine.skew import featurize_salted, release_cached
+
+    want_df = featurize_salted(
+        transcripts_sdf, hot_threshold=50, chunk_target_rows=40,
+        include_text=False, wide=True,
+    )
+    want = _sorted(want_df)
+    release_cached(want_df)
+    got_df = featurize_salted(
+        transcripts_sdf, hot_threshold=50, chunk_target_rows=40,
+        include_text=False, wide=True, enum_shuffle=True,
+    )
+    got = _sorted(got_df)
+    release_cached(got_df)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_enum_shuffle_wide_exchange_carries_no_strings_but_key(
+    spark, transcripts_sdf
+):
+    """The 175-column wide plan's conv_id exchanges carry role/tool/
+    prev_role only as longs."""
+    import re
+
+    from astrospectro_spark.engine.windows import featurize_expr
+
+    out = featurize_expr(
+        transcripts_sdf, include_text=False, wide=True, enum_shuffle=True
+    )
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    blocks = re.findall(
+        r"^\(\d+\) Exchange\n(.*?)(?=^\(\d+\)|\Z)", plan, re.M | re.S
+    )
+    table_blocks = [b for b in blocks if "hashpartitioning(conv_id" in b]
+    assert table_blocks, plan
+    for block in table_blocks:
+        assert not re.search(r"\b(role|tool|prev_role)#\d+(?![\dL])", block), block

@@ -58,6 +58,37 @@ def get_spark(
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # The wide feature plans (175/183-column window batteries) emit
+        # several hundred distinct codegen fragments per query; the
+        # default 100-entry compiled-class cache (StaticSQLConf
+        # CODEGEN_CACHE_MAX_ENTRIES) thrashes on them, so EVERY task
+        # re-Janino-compiles its projections — measured ~7-9 s of pure
+        # compile CPU per task on feature_vector_wide (task cost flat in
+        # row count, total CPU linear in task count: the signature of
+        # per-task fixed overhead). 2048 entries holds the whole
+        # engine's fragment set at a bounded metaspace cost and applies
+        # per-JVM (each executor pays the same compile tax on a
+        # cluster). Static conf: must be set before the JVM's first
+        # session; env knob for ops override.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "2048"),
+        )
+        # Window-feature stages are compute-bound (~50-100 µs/row on
+        # ~200-byte rows ⇒ 1 MB of shuffled input is ~0.5 s of CPU), so
+        # AQE's default 1 MB coalesce floor serializes them whenever the
+        # table is small in BYTES but heavy in compute — e.g. a 4 MB
+        # post-shuffle stage collapses to 4 tasks on 32 cores. 64 KB
+        # keeps parallelismFirst's target (input/defaultParallelism)
+        # binding instead of the floor. At production scale partitions
+        # sit at the advisory size (64 MB+) and the floor is never the
+        # binding constraint, so this is a no-op there. 256 KB (not
+        # lower) keeps tiny shuffles from fragmenting into tasks whose
+        # scheduling overhead exceeds their work.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "256k"),
+        )
     )
     # Shuffle/spill dir override — OPT-IN via SPARK_GRAFT_LOCAL_DIR
     # (bench harnesses set it to /dev/shm tmpfs: in local mode all

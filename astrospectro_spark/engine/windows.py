@@ -470,28 +470,10 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s, enum_shuffle=False) -> DataFr
     w4b = w.rowsBetween(-4, -3)
     wtrap = w.rowsBetween(-3, 0)
     usq = F.col("_usq")
-    wr = Window.partitionBy("conv_id").orderBy(usq).rangeBetween(
-        -WIDE_RATE_S * 1_000_000, 0
-    )
-    wr36 = Window.partitionBy("conv_id").orderBy(usq).rangeBetween(
-        -WIDE_RATE_MAX_S * 1_000_000, 0
-    )
-    wr900 = Window.partitionBy("conv_id").orderBy(usq).rangeBetween(
-        -900 * 1_000_000, 0
-    )
-    wr60 = Window.partitionBy("conv_id").orderBy(usq).rangeBetween(
-        -RATE_WINDOW_S * 1_000_000, 0
-    )
     tl = F.col("text_len")
     tll = tl.cast("long")
     gap = F.col("lag1_ts_gap_s")
     rn = F.col("_rn")
-    w5_m = F.avg(tll).over(w5)
-    w5_m2 = F.avg(tll * tll).over(w5)
-    w10_m = F.avg(tll).over(w10)
-    w10_m2 = F.avg(tll * tll).over(w10)
-    w20_m = F.avg(tll).over(w20)
-    w20_m2 = F.avg(tll * tll).over(w20)
     # identical window expressions within one projection are
     # deduplicated by Catalyst, so compound formulas (zscore from cum
     # sums, session_elapsed from the boundary carry) stay in-layer.
@@ -511,16 +493,49 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s, enum_shuffle=False) -> DataFr
 
     # ---- RANGE first: every rangeBetween frame while the row is
     # narrow (merges with the caller's rate_60s node — same spec,
-    # adjacent, independent) ----
+    # adjacent, independent).
+    #
+    # GROWING-FRAME form (round-6 optimization): a sliding range frame
+    # [-X, 0] is re-aggregated from scratch for every row by Spark's
+    # SlidingWindowFunctionFrame — O(rows-in-frame) updates PER ROW,
+    # which on a dense mega-conversation (3600 s frame ≈ 110 rows at
+    # ~33 s/turn) dominated the hot task. count/sum over [-X, 0] are
+    # instead computed as the DIFFERENCE of two frames with an
+    # UNBOUNDED PRECEDING lower bound, which Spark executes with the
+    # incremental UnboundedPrecedingWindowFunctionFrame (rows are only
+    # ever ADDED as the upper bound advances — O(1)/row amortized):
+    #   rows in [t-X, t]  =  rows in (-inf, t]  -  rows in (-inf, t-X)
+    # Bounds are integer microseconds, so (-inf, t-X) == (-inf, t-X-1µs]
+    # exactly. Counts are ints and the sums are int64 over int text_len
+    # — both differences are bit-identical to the sliding originals
+    # (empty "before" frame: count 0, sum NULL → coalesce 0).
+    def _wgrow(upper_us: int):
+        return (
+            Window.partitionBy("conv_id")
+            .orderBy(usq)
+            .rangeBetween(Window.unboundedPreceding, upper_us)
+        )
+
+    cnt_le = F.count(F.lit(1)).over(_wgrow(0))
+    sum_le = F.sum(tl).over(_wgrow(0))
+
+    def _rate(sec: int) -> Column:
+        before = F.count(F.lit(1)).over(_wgrow(-sec * 1_000_000 - 1))
+        return (cnt_le - before).cast("double")
+
+    def _tsum(sec: int) -> Column:
+        before = F.sum(tl).over(_wgrow(-sec * 1_000_000 - 1))
+        return (sum_le - F.coalesce(before, F.lit(0))).cast("long")
+
     df = df.withColumns(
         {
-            "rate_300s": F.count(F.lit(1)).over(wr).cast("double"),
-            "text_sum_300s": F.sum(tl).over(wr).cast("long"),
-            "rate_3600s": F.count(F.lit(1)).over(wr36).cast("double"),
-            "text_sum_3600s": F.sum(tl).over(wr36).cast("long"),
-            "rate_900s": F.count(F.lit(1)).over(wr900).cast("double"),
-            "text_sum_900s": F.sum(tl).over(wr900).cast("long"),
-            "text_sum_60s": F.sum(tl).over(wr60).cast("long"),
+            "rate_300s": _rate(WIDE_RATE_S),
+            "text_sum_300s": _tsum(WIDE_RATE_S),
+            "rate_3600s": _rate(WIDE_RATE_MAX_S),
+            "text_sum_3600s": _tsum(WIDE_RATE_MAX_S),
+            "rate_900s": _rate(900),
+            "text_sum_900s": _tsum(900),
+            "text_sum_60s": _tsum(RATE_WINDOW_S),
         }
     )
 
@@ -542,49 +557,14 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s, enum_shuffle=False) -> DataFr
             "lag3_ts_gap_s": (us - F.lag(us, 3).over(w)).cast("double") / F.lit(1e6),
             "roll_max_text_len_5": F.max(tl).over(w5).cast("double"),
             "roll_min_text_len_5": F.min(tl).over(w5).cast("double"),
-            "roll_sum_text_len_5": F.sum(tl).over(w5).cast("long"),
-            "roll_std_text_len_5": F.sqrt(
-                F.greatest(F.lit(0.0), w5_m2 - w5_m * w5_m)
-            ),
-            "zscore_roll_text_len_5": F.when(
-                w5_m2 - w5_m * w5_m > 0, (tll - w5_m) / F.sqrt(w5_m2 - w5_m * w5_m)
-            ).otherwise(F.lit(0.0)),
-            "roll_mean_text_len_10": F.avg(tl).over(w10),
             "roll_min_text_len_10": F.min(tl).over(w10).cast("double"),
             "roll_max_text_len_10": F.max(tl).over(w10).cast("double"),
-            "roll_sum_text_len_10": F.sum(tl).over(w10).cast("long"),
-            "roll_std_text_len_10": F.sqrt(
-                F.greatest(F.lit(0.0), w10_m2 - w10_m * w10_m)
-            ),
-            "zscore_roll_text_len_10": F.when(
-                w10_m2 - w10_m * w10_m > 0,
-                (tll - w10_m) / F.sqrt(w10_m2 - w10_m * w10_m),
-            ).otherwise(F.lit(0.0)),
-            "roll_mean_text_len_20": F.avg(tl).over(w20),
             "roll_min_text_len_20": F.min(tl).over(w20).cast("double"),
             "roll_max_text_len_20": F.max(tl).over(w20).cast("double"),
-            "roll_sum_text_len_20": F.sum(tl).over(w20).cast("long"),
-            "roll_std_text_len_20": F.sqrt(
-                F.greatest(F.lit(0.0), w20_m2 - w20_m * w20_m)
-            ),
-            "roll_assistant_rate_10": F.sum(
-                (F.col("role") == _rl("assistant")).cast("int")
-            ).over(w10)
-            / F.count(F.lit(1)).over(w10),
-            "roll_tool_rate_10": F.sum(F.col("tool").isNotNull().cast("int")).over(
-                w10
-            )
-            / F.count(F.lit(1)).over(w10),
             "gap_roll_max_5": F.max(gap).over(w5),
             "gap_roll_min_5": F.min(gap).over(w5),
-            "gap_roll_mean_5": F.sum("_gap_us").over(w5)
-            / F.count("_gap_us").over(w5)
-            / F.lit(1e6),
             "gap_roll_max_10": F.max(gap).over(w10),
             "gap_roll_min_10": F.min(gap).over(w10),
-            "gap_roll_mean_10": F.sum("_gap_us").over(w10)
-            / F.count("_gap_us").over(w10)
-            / F.lit(1e6),
             "wing_asym_5": (F.sum(tll).over(w4a) - F.sum(tll).over(w4b)).cast(
                 "double"
             ),
@@ -689,7 +669,36 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s, enum_shuffle=False) -> DataFr
         }
     )
 
-    # ---- W1: windows over W0-derived columns, one node ----
+    # ---- W1: windows over W0-derived columns, one node.
+    #
+    # The rolling sum/mean/std family lives HERE as cumulative
+    # differences of the W0 running sums (round-6 optimization):
+    # Spark re-aggregates a sliding rows frame from scratch per row
+    # (O(k) updates/row/function), so the 10/20-row frames cost ~30
+    # update calls per row per statistic; the same values fall out of
+    # O(1) lag differences of cum_text_len/_ctl2/_active_us/cum-role
+    # counters. All sums are exact int64 (and Average's double
+    # accumulation over small ints is exact), so sum, sum/count and the
+    # moment formulas are bit-identical to the sliding originals.
+    # min/max cannot be expressed as differences and stay sliding in W0.
+    def _lagz(c: Column, k: int) -> Column:
+        return F.coalesce(F.lag(c, k).over(w), F.lit(0))
+
+    cum_tl_c = F.col("cum_text_len")
+    ctl2_c = F.col("_ctl2")
+    act_c = F.col("_active_us")
+    n5 = F.least(rn, F.lit(roll_rows))
+    n10 = F.least(rn, F.lit(WIDE_ROLL10))
+    n20 = F.least(rn, F.lit(WIDE_ROLL20))
+    s5 = cum_tl_c - _lagz(cum_tl_c, roll_rows)
+    s10 = cum_tl_c - _lagz(cum_tl_c, WIDE_ROLL10)
+    s20 = cum_tl_c - _lagz(cum_tl_c, WIDE_ROLL20)
+    m5 = s5 / n5
+    m10 = s10 / n10
+    m20 = s20 / n20
+    m5_2 = (ctl2_c - _lagz(ctl2_c, roll_rows)) / n5
+    m10_2 = (ctl2_c - _lagz(ctl2_c, WIDE_ROLL10)) / n10
+    m20_2 = (ctl2_c - _lagz(ctl2_c, WIDE_ROLL20)) / n20
     sess_carry = F.last(
         F.when(F.col("_sb") == 1, F.col("cum_text_len") - tll), ignorenulls=True
     ).over(wcum)
@@ -701,6 +710,48 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s, enum_shuffle=False) -> DataFr
             "cum_role_changes": F.sum("role_changed").over(wcum).cast("long"),
             "roll_role_changes_10": F.sum("role_changed").over(w10).cast("long"),
             "wing_auc_4": F.sum("_trap_w").over(wtrap) / F.lit(2000.0),
+            "roll_sum_text_len_5": s5.cast("long"),
+            "roll_sum_text_len_10": s10.cast("long"),
+            "roll_sum_text_len_20": s20.cast("long"),
+            "roll_mean_text_len_10": m10,
+            "roll_mean_text_len_20": m20,
+            "roll_std_text_len_5": F.sqrt(F.greatest(F.lit(0.0), m5_2 - m5 * m5)),
+            "roll_std_text_len_10": F.sqrt(
+                F.greatest(F.lit(0.0), m10_2 - m10 * m10)
+            ),
+            "roll_std_text_len_20": F.sqrt(
+                F.greatest(F.lit(0.0), m20_2 - m20 * m20)
+            ),
+            "zscore_roll_text_len_5": F.when(
+                m5_2 - m5 * m5 > 0, (tll - m5) / F.sqrt(m5_2 - m5 * m5)
+            ).otherwise(F.lit(0.0)),
+            "zscore_roll_text_len_10": F.when(
+                m10_2 - m10 * m10 > 0, (tll - m10) / F.sqrt(m10_2 - m10 * m10)
+            ).otherwise(F.lit(0.0)),
+            "roll_assistant_rate_10": (
+                F.col("cum_count_assistant") - _lagz(F.col("cum_count_assistant"), WIDE_ROLL10)
+            )
+            / n10,
+            "roll_tool_rate_10": (
+                F.col("cum_tool_set") - _lagz(F.col("cum_tool_set"), WIDE_ROLL10)
+            )
+            / n10,
+            # rn=1 guard: the sliding original divided a NULL sum by a
+            # zero count (NULL under ANSI); the diff form's dividend is
+            # 0, which ANSI-errors on /0 — so the head row is NULLed
+            # explicitly, which is the identical value.
+            "gap_roll_mean_5": F.when(
+                rn > 1,
+                (act_c - _lagz(act_c, roll_rows))
+                / F.least(rn - 1, F.lit(roll_rows)),
+            )
+            / F.lit(1e6),
+            "gap_roll_mean_10": F.when(
+                rn > 1,
+                (act_c - _lagz(act_c, WIDE_ROLL10))
+                / F.least(rn - 1, F.lit(WIDE_ROLL10)),
+            )
+            / F.lit(1e6),
         }
     )
     df = df.withColumn(
@@ -911,12 +962,25 @@ def featurize_expr(
     # us-Sort materializes ~20 fields per row here, vs ~100 if it ran
     # after the wide tier (the wide tier's own range batch merges into
     # this node — same partition/order spec, adjacent, independent).
-    wrange = (
+    # growing-frame difference instead of a sliding [-60s, 0] frame —
+    # same O(1)/row trick as the wide range family (see _wide_exprs):
+    # count in [t-60s, t] = count in (-inf, t] - count in (-inf, t-60s)
+    wrange_le = (
         Window.partitionBy("conv_id")
         .orderBy(F.col("_usq"))
-        .rangeBetween(-rate_window_s * 1_000_000, 0)
+        .rangeBetween(Window.unboundedPreceding, 0)
     )
-    df = df.withColumn("rate_60s", F.count(F.lit(1)).over(wrange).cast("double"))
+    wrange_bef = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("_usq"))
+        .rangeBetween(Window.unboundedPreceding, -rate_window_s * 1_000_000 - 1)
+    )
+    df = df.withColumn(
+        "rate_60s",
+        (
+            F.count(F.lit(1)).over(wrange_le) - F.count(F.lit(1)).over(wrange_bef)
+        ).cast("double"),
+    )
     cols = key_cols + FEATURE_COLS
     if wide:
         df = _wide_exprs(df, w, wcum, us, roll_rows, gap_s, enum_shuffle)

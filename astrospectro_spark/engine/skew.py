@@ -76,15 +76,18 @@ def featurize_salted(
     include_text: bool = True,
     wide: bool = False,
     enum_shuffle: bool = False,
+    decode_enums: bool = False,
 ) -> DataFrame:
     """featurize_expr semantics with hot conversations split into
     ts-range chunks that run as parallel tasks.
 
     ``enum_shuffle=True`` (narrow ``include_text=False`` contract only,
     see :func:`featurize_expr`) carries ``role``/``tool`` as 64-bit
-    codes through every exchange of BOTH the cold and hot branches and
-    decodes once, after the union, via broadcast dims — bit-identical
-    output, string-free shuffle rows.
+    codes through every exchange of BOTH the cold and hot branches.
+    The default output KEEPS the codes (BIGINT columns; decode lazily
+    at read via ``windows.enum_decode``); ``decode_enums=True`` decodes
+    once after the union via broadcast dims — bit-identical to the
+    string path.
 
     ``persist_hot`` caches the hot slice after chunk assignment: the
     salted plan consumes it three times (real rows + two context-copy
@@ -108,7 +111,6 @@ def featurize_salted(
         include_text=include_text,
         wide=wide,
         enum_shuffle=enum_shuffle,
-        _keep_codes=enum_shuffle,
     )
 
     hot = df.join(F.broadcast(hot_census), "conv_id", "left_semi")
@@ -125,7 +127,7 @@ def featurize_salted(
         enum_shuffle=enum_shuffle,
     )
     out = cold_out.unionByName(hot_out.select(cold_out.columns))
-    if enum_shuffle:
+    if enum_shuffle and decode_enums:
         from astrospectro_spark.engine.windows import enum_decode, enum_decode_map
 
         out = enum_decode(out, df, enum_decode_map(wide)).select(cold_out.columns)

@@ -48,10 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--enum-shuffle",
         action="store_true",
         help="carry role/tool through the exchanges as 64-bit codes "
-        "(string-free shuffle rows; decoded via broadcast dims after "
-        "the windows — bit-identical output). Applies to the narrow "
-        "AND --wide feature-table contracts; ignored, with a warning, "
-        "when --include-text is set",
+        "(string-free shuffle rows). The feature table then stores the "
+        "codes (BIGINT role/tool/tool_backfill/prev_role) and the tiny "
+        "code->string dims are written to <output>/enum_dims for "
+        "read-time decode (windows.enum_decode) — features only need "
+        "equality, so the hot path never pays the decode joins. "
+        "Applies to the narrow AND --wide feature-table contracts; "
+        "ignored, with a warning, when --include-text is set",
     )
     p.add_argument(
         "--wide",
@@ -101,6 +104,26 @@ def main(argv: list[str] | None = None) -> int:
     )
     stats = run.run(turns)
     print(f"featurize: {stats}")
+
+    if enum_shuffle:
+        # read-time decode contract: one tiny code->string dim per
+        # enum-coded source column, written next to the feature table.
+        # A reader joins these (broadcast) to recover strings; the hot
+        # path above never pays the decode.
+        from pyspark.sql import functions as F
+
+        for col in ("role", "tool"):
+            (
+                turns.select(col)
+                .where(F.col(col).isNotNull())
+                .distinct()
+                .select(
+                    F.xxhash64(col).alias("code"),
+                    F.col(col).alias("value"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{args.output}/enum_dims/{col}")
+            )
 
     if args.anchors:
         anchors = spark.read.parquet(args.anchors)

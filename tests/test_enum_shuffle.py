@@ -1,6 +1,11 @@
 """enum_shuffle: role/tool carried as 64-bit codes through every
-exchange, decoded after the windows via broadcast dims — bit-identical
-output, string-free shuffle rows (round-4 judge item 7)."""
+exchange — string-free shuffle rows (round-4 judge item 7).
+
+Since round 6 the DEFAULT enum output KEEPS the codes (the feature-
+table contract: BIGINT role/tool/tool_backfill/prev_role, decoded
+lazily at read via ``enum_decode``); ``decode_enums=True`` decodes
+in-plan via broadcast dims. Both paths are locked bit-identical to the
+string engine here."""
 
 from __future__ import annotations
 
@@ -23,9 +28,42 @@ def test_enum_shuffle_bit_parity_expr(spark, transcripts_sdf):
 
     want = _sorted(featurize_expr(transcripts_sdf, include_text=False))
     got = _sorted(
-        featurize_expr(transcripts_sdf, include_text=False, enum_shuffle=True)
+        featurize_expr(
+            transcripts_sdf, include_text=False, enum_shuffle=True,
+            decode_enums=True,
+        )
     )
     assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_enum_shuffle_default_keeps_codes_and_decodes_at_read(
+    spark, transcripts_sdf
+):
+    """The feature-table contract: the default enum output carries
+    BIGINT codes (no decode joins in the plan), and a read-time
+    enum_decode against the source restores bit-parity with the string
+    engine."""
+    from astrospectro_spark.engine.windows import (
+        enum_decode,
+        enum_decode_map,
+        featurize_expr,
+    )
+
+    coded = featurize_expr(transcripts_sdf, include_text=False, enum_shuffle=True)
+    types = dict(coded.dtypes)
+    assert types["role"] == "bigint"
+    assert types["tool"] == "bigint"
+    assert types["tool_backfill"] == "bigint"
+    plan = coded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan  # no in-plan decode dims
+
+    want = _sorted(featurize_expr(transcripts_sdf, include_text=False))
+    got = _sorted(
+        enum_decode(coded, transcripts_sdf, enum_decode_map(wide=False)).select(
+            *coded.columns
+        )
+    )
     pd.testing.assert_frame_equal(got, want)
 
 
@@ -42,7 +80,7 @@ def test_enum_shuffle_bit_parity_salted(spark, transcripts_sdf):
     release_cached(want_df)
     got_df = featurize_salted(
         transcripts_sdf, hot_threshold=50, chunk_target_rows=40,
-        include_text=False, enum_shuffle=True,
+        include_text=False, enum_shuffle=True, decode_enums=True,
     )
     got = _sorted(got_df)
     release_cached(got_df)
@@ -69,7 +107,9 @@ def test_enum_shuffle_handles_null_and_exotic_values(spark):
     from astrospectro_spark.engine.windows import featurize_expr
 
     want = _sorted(featurize_expr(df, include_text=False))
-    got = _sorted(featurize_expr(df, include_text=False, enum_shuffle=True))
+    got = _sorted(
+        featurize_expr(df, include_text=False, enum_shuffle=True, decode_enums=True)
+    )
     pd.testing.assert_frame_equal(got, want)
     r = got.set_index(["conv_id", "turn_idx"])
     assert r.loc[("c1", 0), "role"] is None or pd.isna(r.loc[("c1", 0), "role"])
@@ -127,7 +167,8 @@ def test_enum_shuffle_bit_parity_wide_expr(spark, transcripts_sdf):
     want = _sorted(featurize_expr(transcripts_sdf, include_text=False, wide=True))
     got = _sorted(
         featurize_expr(
-            transcripts_sdf, include_text=False, wide=True, enum_shuffle=True
+            transcripts_sdf, include_text=False, wide=True, enum_shuffle=True,
+            decode_enums=True,
         )
     )
     assert list(got.columns) == list(want.columns)
@@ -147,7 +188,7 @@ def test_enum_shuffle_bit_parity_wide_salted(spark, transcripts_sdf):
     release_cached(want_df)
     got_df = featurize_salted(
         transcripts_sdf, hot_threshold=50, chunk_target_rows=40,
-        include_text=False, wide=True, enum_shuffle=True,
+        include_text=False, wide=True, enum_shuffle=True, decode_enums=True,
     )
     got = _sorted(got_df)
     release_cached(got_df)

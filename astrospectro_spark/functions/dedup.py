@@ -258,8 +258,16 @@ def minhash_lsh_candidates(
     verify_threshold: float = 0.5,
     block_cols: tuple[str, ...] = (),
     max_tokens: int | None = None,
+    verify_source: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup detection.
+
+    ``verify_source`` (optional) supplies the ``(id_col, text_col)``
+    rows used to re-shingle candidate pairs for exact verification;
+    it must agree with ``df`` on every id they share. Callers whose
+    ``df`` is itself an expensive subplan (e.g. curate's exact-survivor
+    aggregation) pass the cheap raw table here so the verify semi-join
+    does not re-execute that subplan.
 
     signature → ``bands`` bands of ``num_perm/bands`` rows → band-hash
     bucket join → candidate id pairs → exact shingle-Jaccard
@@ -287,7 +295,6 @@ def minhash_lsh_candidates(
     d = df.select(
         F.col(id_col),
         *[F.col(c) for c in blocks],
-        shingles(text_col, ngram, max_tokens).alias("sh"),
         minhash_signature(text_col, num_perm, ngram, max_tokens).alias("sig"),
     )
     banded = d.select(
@@ -315,12 +322,37 @@ def minhash_lsh_candidates(
     a = banded.select(*blocks, "band_id", "band_hash", F.col(id_col).alias("id_a"))
     b = banded.select(*blocks, "band_id", "band_hash", F.col(id_col).alias("id_b"))
     cand = (
-        a.join(b, blocks + ["band_id", "band_hash"])  # pairs share the block
+        # SHUFFLE_HASH pins the self-join to shuffle-both-sides: when
+        # AQE broadcasts one side (it will at small scale — banded is
+        # tiny in bytes), the two sides stop being exchange-twins and
+        # the EXPENSIVE side (minhash over the corpus) is computed
+        # twice, once for the broadcast build and once for the probe
+        # (measured 2x the signature stage). With both sides shuffled
+        # the identical exchanges are computed once and reused — which
+        # is also the only plan shape possible at 10^9 docs, where
+        # banded can never fit a broadcast. Hash join over band buckets
+        # needs no sort; AQE skew-splitting still applies.
+        a.join(b.hint("shuffle_hash"), blocks + ["band_id", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", *blocks)
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh = d.select(id_col, "sh")
+    # Verify-stage shingles are computed ONLY for docs that appear in a
+    # candidate pair: shingling is the dominant CPU of this operator
+    # (one md5 per shingle per doc), and attaching `d.sh` directly to
+    # both pair sides re-ran it over the WHOLE corpus twice more
+    # (measured 3x the signature pass at sf0.1). The semi-join filters
+    # the raw rows BEFORE the shingle projection, so the re-shingle
+    # pass is O(candidate docs), which LSH keeps a tiny fraction of the
+    # corpus. Emitted pairs and jaccard values are unchanged.
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (verify_source if verify_source is not None else df).join(
+        cand_ids, id_col, "left_semi"
+    ).select(F.col(id_col), shingles(text_col, ngram, max_tokens).alias("sh"))
     cand = cand.join(
         sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
     ).join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")

@@ -193,6 +193,12 @@ def curate(
             survivors, text_col, id_col,
             verify_threshold=near_dup_threshold,
             max_tokens=max_shingle_tokens,
+            # verify re-shingles candidate ids from the RAW table: a
+            # keeper's (id, text) pair is identical in docs and in the
+            # survivor agg, and attaching from `survivors` would
+            # re-execute the min_by aggregation subplan a second time
+            # (the verify semi-join defeats its exchange reuse).
+            verify_source=docs.select(id_col, text_col),
         )
         near_loser_ids = _losers(pairs)
         losers = near_loser_ids.withColumn("_near_dup", F.lit(True))

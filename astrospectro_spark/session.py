@@ -90,6 +90,21 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "256k"),
         )
     )
+    # The wide plans JIT-compile thousands of generated-class methods;
+    # the JVM's default 240 MB reserved code cache fills after a few
+    # plan variants, the C2 compiler shuts off ("CodeCache is full"),
+    # and later queries run interpreted — measured as sporadic 10x
+    # stage-CPU storms in long sessions. 512 MB holds the engine's
+    # whole compiled set. Applied to driver AND executors (local mode
+    # only has the driver; a cluster pays the same tax per executor
+    # JVM). Ignored with a warning when attaching to an already-running
+    # JVM (e.g. inside spark-submit, which sets its own opts).
+    code_cache = os.environ.get("SPARK_GRAFT_CODE_CACHE", "512m")
+    if code_cache:
+        jopt = f"-XX:ReservedCodeCacheSize={code_cache}"
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", jopt
+        ).config("spark.executor.extraJavaOptions", jopt)
     # Shuffle/spill dir override — OPT-IN via SPARK_GRAFT_LOCAL_DIR
     # (bench harnesses set it to /dev/shm tmpfs: in local mode all
     # "shuffle" traffic is disk I/O on one host and concurrent writers

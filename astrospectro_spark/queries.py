@@ -744,6 +744,7 @@ def q_feature_vector_wide(spark, sf_dir):
     seg_sess = F.when(
         (F.col("_sb") == 1) | (F.col("_rn") == 1), F.lit(0)
     ).otherwise((F.col("_vc") + F.col("_lagvc")) * F.col("_gap_us"))
+    _kst = F.get_json_object("props", "$.k").cast("long")
     df = df.withColumns(
         {
             "_cvc": F.sum("_vc").over(wcum),
@@ -756,6 +757,14 @@ def q_feature_vector_wide(spark, sf_dir):
             "_chigh": F.sum("_hi").over(wcum),
             "_cerr": F.sum("_ef").over(wcum),
             "_cseg": F.sum(seg_sess).over(wcum),
+            # running sums staged for the rolling-frame diff forms
+            # (round-6: sliding integer sums/avgs/counts are computed as
+            # O(1) lag-differences of these cumulatives instead of the
+            # O(frame)/row sliding re-aggregation; exact int64, so every
+            # derived value is bit-identical — see engine/windows)
+            "_cgap": F.sum("_gap_us").over(wcum),
+            "_ck": F.sum(_kst).over(wcum),
+            "_ckn": F.count(_kst).over(wcum),
         }
     )
     # per-entity deg-2 fit inputs: x normalized to [0,1] on the entity's
@@ -778,12 +787,55 @@ def q_feature_vector_wide(spark, sf_dir):
             "_pt2": F.sum(xx * xx * v).over(wp0),
         }
     )
-    wr1 = wp.orderBy("_us").rangeBetween(-86_400 * 1_000_000, 0)
-    wr7 = wp.orderBy("_us").rangeBetween(-7 * 86_400 * 1_000_000, 0)
-    wr30 = wp.orderBy("_us").rangeBetween(-30 * 86_400 * 1_000_000, 0)
+    # time-range rate/sum family in GROWING-FRAME form: count/sum over
+    # [t-X, t] = the value over (-inf, t] minus the value over
+    # (-inf, t-X) — two unbounded-preceding frames Spark evaluates
+    # incrementally (O(1)/row), where the sliding [-X, 0] originals are
+    # re-aggregated per row (O(rows-in-frame)). Integer counts and
+    # int64 cent-sums make the differences bit-identical.
+    def _wgr(off_us: int):
+        return wp.orderBy("_us").rangeBetween(Window.unboundedPreceding, off_us)
+
+    _cnt_le = F.count(F.lit(1)).over(_wgr(0))
+    _svc_le = F.sum("_vc").over(_wgr(0))
+
+    def _r_cnt(off_us: int):
+        return _cnt_le - F.count(F.lit(1)).over(_wgr(-off_us - 1))
+
+    def _r_svc(off_us: int):
+        return _svc_le - F.coalesce(F.sum("_vc").over(_wgr(-off_us - 1)), F.lit(0))
+
+    _US_1D, _US_7D = 86_400 * 1_000_000, 7 * 86_400 * 1_000_000
+    _US_30D, _US_12H = 30 * 86_400 * 1_000_000, 12 * 3600 * 1_000_000
     w5 = w.rowsBetween(-4, 0)
     w10 = w.rowsBetween(-9, 0)
     w20 = w.rowsBetween(-19, 0)
+    # rolling-frame cumulative diffs (exact int64; NULL-head handling
+    # matches the sliding originals — see each use site)
+    rn_ = F.col("_rn")
+
+    def _lagz(c, n):
+        return F.coalesce(F.lag(c, n).over(w), F.lit(0))
+
+    def _vc_sum(n):
+        return F.col("_cvc") - _lagz(F.col("_cvc"), n)
+
+    def _vc2_sum(n):
+        return F.col("_cvc2") - _lagz(F.col("_cvc2"), n)
+
+    def _nrows(n):
+        return F.least(rn_, F.lit(n))
+
+    def _gap_sum(n):
+        return F.col("_cgap") - _lagz(F.col("_cgap"), n)
+
+    def _gap_cnt(n):
+        return F.least(rn_ - 1, F.lit(n))
+
+    def _gap_mean_us(n):
+        # head row: the sliding original divides a NULL sum by a zero
+        # count (NULL); the diff form NULLs it explicitly
+        return F.when(rn_ > 1, F.round(_gap_sum(n) / _gap_cnt(n)))
     marker = F.when(F.col("event_type").isin("purchase", "signup"), F.col("event_type"))
     sess_start = F.coalesce(
         F.last(F.when(F.col("_sb") == 1, F.col("_us")), ignorenulls=True).over(wcum),
@@ -818,15 +870,15 @@ def q_feature_vector_wide(spark, sf_dir):
         F.lit(0),
     )
     cum_high = F.sum(F.when(v > 150, 1).otherwise(0)).over(wcum).cast("long")
-    vc5_m = F.avg("_vc").over(w5)
-    vc5_m2 = F.avg(F.col("_vc") * F.col("_vc")).over(w5)
-    sum1d_c = F.sum("_vc").over(wr1)
-    n1d = F.count(F.lit(1)).over(wr1)
+    vc5_m = _vc_sum(5) / _nrows(5)
+    vc5_m2 = _vc2_sum(5) / _nrows(5)
+    sum1d_c = _r_svc(_US_1D)
+    n1d = _r_cnt(_US_1D)
     lagv = F.lag(v).over(w)
     n_conv = F.count(F.lit(1)).over(wp)
     ssx = (v - 100) / 50
-    vc10_m = F.avg("_vc").over(w10)
-    vc10_m2 = F.avg(F.col("_vc") * F.col("_vc")).over(w10)
+    vc10_m = _vc_sum(10) / _nrows(10)
+    vc10_m2 = _vc2_sum(10) / _nrows(10)
     first_v = F.first(v).over(wcum)
     # integer day index via exact integral division (u > 2^53, so a
     # double division would lose µs precision; div keeps it exact)
@@ -933,11 +985,10 @@ def q_feature_vector_wide(spark, sf_dir):
     gauss_nar_raw = F.exp(F.lit(-0.5) * nsx * nsx)
     # extra frames
     w50 = w.rowsBetween(-49, 0)
-    wr12 = wp.orderBy("_us").rangeBetween(-12 * 3600 * 1_000_000, 0)
-    vc20_m = F.avg("_vc").over(w20)
-    vc20_m2 = F.avg(F.col("_vc") * F.col("_vc")).over(w20)
-    vc50_m = F.avg("_vc").over(w50)
-    vc50_m2 = F.avg(F.col("_vc") * F.col("_vc")).over(w50)
+    vc20_m = _vc_sum(20) / _nrows(20)
+    vc20_m2 = _vc2_sum(20) / _nrows(20)
+    vc50_m = _vc_sum(50) / _nrows(50)
+    vc50_m2 = _vc2_sum(50) / _nrows(50)
     _tau = 6.283185307179586
     var5c = vc5_m2 - vc5_m * vc5_m
     lag5v = F.lag(v, 5).over(w)
@@ -964,8 +1015,8 @@ def q_feature_vector_wide(spark, sf_dir):
         F.round(v - F.lag(v, 2).over(w), 6).alias("lag2_value_delta"),
         F.round(v - F.lag(v, 3).over(w), 6).alias("lag3_value_delta"),
         F.last(marker, ignorenulls=True).over(wcum).alias("backfill_marker"),
-        F.count(F.lit(1)).over(wr1).alias("rate_1d"),
-        F.count(F.lit(1)).over(wr7).alias("rate_7d"),
+        _r_cnt(_US_1D).alias("rate_1d"),
+        _r_cnt(_US_7D).alias("rate_7d"),
         F.round(roll_mean, 6).alias("roll_mean_value_5"),
         F.round(F.min(v).over(w5), 6).alias("roll_min_value_5"),
         F.round(F.max(v).over(w5), 6).alias("roll_max_value_5"),
@@ -1020,9 +1071,7 @@ def q_feature_vector_wide(spark, sf_dir):
         # (decimal half-up) and DuckDB (scaled std::round) disagree —
         # but integer-µs ties are dyadic doubles both engines round the
         # same way, and k/1e6 then sits safely inside the round(6) grid
-        F.round(
-            F.round(F.sum("_gap_us").over(w5) / F.count("_gap_us").over(w5)) / 1e6, 6
-        ).alias("gap_roll_mean_5"),
+        F.round(_gap_mean_us(5) / 1e6, 6).alias("gap_roll_mean_5"),
         F.round(F.max("_gap").over(w5), 6).alias("gap_roll_max_5"),
         F.round(F.avg(v).over(w10), 6).alias("roll_mean_value_10"),
         F.round(F.min(v).over(w10), 6).alias("roll_min_value_10"),
@@ -1033,7 +1082,7 @@ def q_feature_vector_wide(spark, sf_dir):
         ),
         F.round(sum1d_c / 100.0, 6).alias("value_sum_1d"),
         snap6(sum1d_c / 100.0 / n1d).alias("value_mean_1d"),
-        F.round(F.sum("_vc").over(wr7) / 100.0, 6).alias("value_sum_7d"),
+        F.round(_r_svc(_US_7D) / 100.0, 6).alias("value_sum_7d"),
         F.round(run_max - run_min, 6).alias("run_depth"),
         F.round(v - run_min, 6).alias("run_range_pos"),
         F.round(F.when(run_max - run_min > 0, (v - run_min) / (run_max - run_min)), 6).alias(
@@ -1098,17 +1147,23 @@ def q_feature_vector_wide(spark, sf_dir):
         F.round(
             F.sqrt(F.greatest(F.lit(0.0), vc10_m2 - vc10_m * vc10_m)) / 100, 6
         ).alias("roll_std_value_10"),
-        F.round(
-            F.round(F.sum("_gap_us").over(w10) / F.count("_gap_us").over(w10)) / 1e6, 6
-        ).alias("gap_roll_mean_10"),
+        F.round(_gap_mean_us(10) / 1e6, 6).alias("gap_roll_mean_10"),
         F.round(F.max("_gap").over(w10), 6).alias("gap_roll_max_10"),
-        F.count(F.lit(1)).over(wr30).alias("rate_30d"),
-        F.round(F.sum("_vc").over(wr30) / 100.0, 6).alias("value_sum_30d"),
+        _r_cnt(_US_30D).alias("rate_30d"),
+        F.round(_r_svc(_US_30D) / 100.0, 6).alias("value_sum_30d"),
         F.round(
             F.when((var_c > 0) & (m_c > 0), F.sqrt(var_c) / m_c).otherwise(0.0), 6
         ).alias("value_cv_run"),
-        snap6(F.sum(k).over(w5) / F.count(k).over(w5)).alias("k_roll_mean_5"),
-        snap6(F.sum(k).over(wcum) / F.count(k).over(wcum)).alias("cum_k_mean"),
+        snap6(
+            F.when(
+                F.col("_ckn") - _lagz(F.col("_ckn"), 5) > 0,
+                (F.coalesce(F.col("_ck"), F.lit(0)) - _lagz(F.col("_ck"), 5))
+                / (F.col("_ckn") - _lagz(F.col("_ckn"), 5)),
+            )
+        ).alias("k_roll_mean_5"),
+        snap6(
+            F.when(F.col("_ckn") > 0, F.col("_ck") / F.col("_ckn"))
+        ).alias("cum_k_mean"),
         (~k.eqNullSafe(F.lag(k).over(w))).cast("int").alias("k_changed"),
         F.concat_ws(">", F.lag("event_type").over(w), F.col("event_type")).alias(
             "type_pair"
@@ -1190,21 +1245,17 @@ def q_feature_vector_wide(spark, sf_dir):
         F.round(
             (F.col("_us") - F.lag(F.col("_us"), 3).over(w)).cast("double") / 1e6, 6
         ).alias("lag3_ts_gap_s"),
-        snap6(F.sum("_vc").over(w50) / F.count(F.lit(1)).over(w50) / 100).alias(
-            "roll_mean_value_50"
-        ),
-        F.round(F.sum("_vc").over(w50) / 100.0, 6).alias("roll_sum_value_50"),
+        snap6(_vc_sum(50) / _nrows(50) / 100).alias("roll_mean_value_50"),
+        F.round(_vc_sum(50) / 100.0, 6).alias("roll_sum_value_50"),
         F.round(F.min(v).over(w50), 6).alias("roll_min_value_50"),
         F.round(F.max(v).over(w50), 6).alias("roll_max_value_50"),
         F.round(
             F.sqrt(F.greatest(F.lit(0.0), vc20_m2 - vc20_m * vc20_m)) / 100, 6
         ).alias("roll_std_value_20"),
         F.round(F.max("_gap").over(w20), 6).alias("gap_roll_max_20"),
-        F.round(
-            F.round(F.sum("_gap_us").over(w20) / F.count("_gap_us").over(w20)) / 1e6, 6
-        ).alias("gap_roll_mean_20"),
-        F.count(F.lit(1)).over(wr12).alias("rate_12h"),
-        F.round(F.sum("_vc").over(wr12) / 100.0, 6).alias("value_sum_12h"),
+        F.round(_gap_mean_us(20) / 1e6, 6).alias("gap_roll_mean_20"),
+        _r_cnt(_US_12H).alias("rate_12h"),
+        F.round(_r_svc(_US_12H) / 100.0, 6).alias("value_sum_12h"),
         F.round(
             F.when(var5c > 0, (F.col("_vc") - vc5_m) / F.sqrt(var5c)).otherwise(0.0), 6
         ).alias("value_zscore_roll_5"),

@@ -205,7 +205,11 @@ def embedding_neardup_pairs(
     a = sigs.select(F.col(id_col).alias("id_a"), "table", "sig")
     b = sigs.select(F.col(id_col).alias("id_b"), "table", "sig")
     cand = (
-        a.join(b, ["table", "sig"])
+        # shuffle-both-sides (see dedup.minhash_lsh_candidates): a
+        # broadcast of one side would re-execute the signature
+        # projection for the build side instead of reusing the twin
+        # exchange, and can never apply at 10^9 vectors anyway
+        a.join(b.hint("shuffle_hash"), ["table", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])

@@ -201,6 +201,14 @@ def curate(
             verify_source=docs.select(id_col, text_col),
         )
         near_loser_ids = _losers(pairs)
+        if embeddings is not None and dedup_mode == "pairwise":
+            # the embedding stage reuses near_loser_ids in its alive
+            # anti-join; without a checkpoint the whole LSH subplan
+            # (the most expensive stage) would execute twice per action
+            # (cc mode is shielded by connected_components' own
+            # checkpoints). Lazy: materialised at the first action,
+            # loser ids only — tiny.
+            near_loser_ids = near_loser_ids.localCheckpoint(eager=False)
         losers = near_loser_ids.withColumn("_near_dup", F.lit(True))
         flagged = flagged.join(losers, id_col, "left")
         flagged = flagged.withColumn(

@@ -121,7 +121,12 @@ def test_minhash_band_exchange_carries_ids_only(spark, documents_sdf):
     for m in re.finditer(r"^\(\d+\) Exchange\n(.*?)(?=^\(\d+\)|\Z)", plan, re.M | re.S):
         block = m.group(1)
         if "band_hash" in block:
-            assert "sh#" not in block and not re.search(r"\bsh\b", block), block
+            # the shingle attribute prints as a standalone `sh#NN` token;
+            # a bare substring test would false-positive inside
+            # `band_hash#NN` (both band-join sides shuffle since round 6)
+            assert not re.search(r"(?<![A-Za-z0-9_])sh#\d", block) and not re.search(
+                r"\bsh\b", block
+            ), block
 
 
 def test_per_entity_joins_not_hint_broadcast(spark):

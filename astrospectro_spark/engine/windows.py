@@ -941,26 +941,30 @@ def featurize_expr(
             ),
         }
     )
-    # ---- layer 1: session ids from the boundary flag ----
+    # ---- layer 1: session ids + turn_in_session, ONE window pass.
+    # Both are wcum aggregates of W0 outputs and independent of each
+    # other, so they batch into a single WindowExec (round-6: they were
+    # two adjacent single-function Window nodes, i.e. two full buffer
+    # passes over every partition). turn_in_session avoids a second
+    # exchange: a (conv, session) partition would re-shuffle the whole
+    # table; instead count rows since the most recent session boundary
+    # inside the SAME window (rn - rn just before the last boundary).
     df = df.withColumn(
         "_sb", F.when(F.col("lag1_ts_gap_s") > gap_s, 1).otherwise(0)
     )
-    df = df.withColumn("session_id", F.sum("_sb").over(wcum).cast("int"))
-    # ---- layer 2: turn_in_session without a second exchange: a
-    # (conv, session) partition would re-shuffle the whole table;
-    # instead count rows since the most recent session boundary inside
-    # the SAME window (rn - rn just before the last boundary). ----
-    df = df.withColumn(
-        "turn_in_session",
-        (
-            F.col("_rn")
-            - F.coalesce(
-                F.last(
-                    F.when(F.col("_sb") == 1, F.col("_rn") - 1), ignorenulls=True
-                ).over(wcum),
-                F.lit(0),
-            )
-        ).cast("int"),
+    df = df.withColumns(
+        {
+            "session_id": F.sum("_sb").over(wcum).cast("int"),
+            "turn_in_session": (
+                F.col("_rn")
+                - F.coalesce(
+                    F.last(
+                        F.when(F.col("_sb") == 1, F.col("_rn") - 1), ignorenulls=True
+                    ).over(wcum),
+                    F.lit(0),
+                )
+            ).cast("int"),
+        }
     )  # _sb/_rn/_gap_us stay staged: _wide_exprs consumes them
     # rolling turn-rate on the REAL time axis: count of turns with
     # ts in [t-60s, t] — a rangeBetween frame on integer microseconds.

@@ -640,7 +640,16 @@ def q_feature_vector(spark, sf_dir):
         F.sum(F.when(gap_s > SESSION_GAP_S, 1).otherwise(0)).over(wcum).cast("long"),
     )
     ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
-    wr = Window.partitionBy("user_id").orderBy(us).rangeBetween(-86_400 * 1_000_000, 0)
+    # growing-frame difference for the 1d rate (O(1)/row; exact int —
+    # see q_feature_vector_wide): count[t-1d, t] = count(-inf, t] minus
+    # count(-inf, t-1d)
+    _wle = Window.partitionBy("user_id").orderBy(us).rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    _wbef = Window.partitionBy("user_id").orderBy(us).rangeBetween(
+        Window.unboundedPreceding, -86_400 * 1_000_000 - 1
+    )
+    rate_1d = F.count(F.lit(1)).over(_wle) - F.count(F.lit(1)).over(_wbef)
     marker = F.when(F.col("event_type").isin("purchase", "signup"), F.col("event_type"))
     return df.select(
         "event_id",
@@ -651,7 +660,7 @@ def q_feature_vector(spark, sf_dir):
         "lag1_ts_gap_s",
         F.round(F.col("value") - F.lag("value").over(w), 6).alias("lag1_value_delta"),
         F.last(marker, ignorenulls=True).over(wcum).alias("backfill_marker"),
-        F.count(F.lit(1)).over(wr).alias("rate_1d"),
+        rate_1d.alias("rate_1d"),
         F.round(F.avg("value").over(_W().rowsBetween(-4, 0)), 6).alias("roll_mean_value_5"),
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
         .over(wcum)

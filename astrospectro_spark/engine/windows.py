@@ -474,6 +474,13 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s, enum_shuffle=False) -> DataFr
     tll = tl.cast("long")
     gap = F.col("lag1_ts_gap_s")
     rn = F.col("_rn")
+    # 10/20-row min/max block decomposition applies only when the
+    # frames tile exactly into >=2 base-width (roll_rows) blocks
+    _tiles = (
+        WIDE_ROLL10 % roll_rows == 0
+        and WIDE_ROLL10 // roll_rows >= 2
+        and WIDE_ROLL20 % roll_rows == 0
+    )
     # identical window expressions within one projection are
     # deduplicated by Catalyst, so compound formulas (zscore from cum
     # sums, session_elapsed from the boundary carry) stay in-layer.
@@ -555,16 +562,32 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s, enum_shuffle=False) -> DataFr
             "lag7_text_len_delta": (tl - F.lag(tl, 7).over(w)).cast("double"),
             "lag2_ts_gap_s": (us - F.lag(us, 2).over(w)).cast("double") / F.lit(1e6),
             "lag3_ts_gap_s": (us - F.lag(us, 3).over(w)).cast("double") / F.lit(1e6),
+            # only the base-width min/max frames are evaluated as
+            # sliding frames; when the 10/20-row frames tile exactly
+            # into base-width blocks (the default roll_rows=5 does),
+            # they are EXACT block compositions computed in W1: max
+            # over [t-19, t] = greatest of the 5-row block maxima at
+            # lags 0/5/10/15 (at partition heads the early blocks
+            # already cover [1, t] and missing lags are NULL, which
+            # greatest/least skip — identical to the frame max).
+            # Comparisons, not sums, so this is exact for any type.
+            # Non-tiling roll_rows falls back to sliding frames below.
             "roll_max_text_len_5": F.max(tl).over(w5).cast("double"),
             "roll_min_text_len_5": F.min(tl).over(w5).cast("double"),
-            "roll_min_text_len_10": F.min(tl).over(w10).cast("double"),
-            "roll_max_text_len_10": F.max(tl).over(w10).cast("double"),
-            "roll_min_text_len_20": F.min(tl).over(w20).cast("double"),
-            "roll_max_text_len_20": F.max(tl).over(w20).cast("double"),
             "gap_roll_max_5": F.max(gap).over(w5),
             "gap_roll_min_5": F.min(gap).over(w5),
-            "gap_roll_max_10": F.max(gap).over(w10),
-            "gap_roll_min_10": F.min(gap).over(w10),
+            **(
+                {}
+                if _tiles
+                else {
+                    "roll_min_text_len_10": F.min(tl).over(w10).cast("double"),
+                    "roll_max_text_len_10": F.max(tl).over(w10).cast("double"),
+                    "roll_min_text_len_20": F.min(tl).over(w20).cast("double"),
+                    "roll_max_text_len_20": F.max(tl).over(w20).cast("double"),
+                    "gap_roll_max_10": F.max(gap).over(w10),
+                    "gap_roll_min_10": F.min(gap).over(w10),
+                }
+            ),
             "wing_asym_5": (F.sum(tll).over(w4a) - F.sum(tll).over(w4b)).cast(
                 "double"
             ),
@@ -625,10 +648,6 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s, enum_shuffle=False) -> DataFr
                 (tll + lag_tll) * gms_sess,
             ),
             "gap_roll_range_5": F.col("gap_roll_max_5") - F.col("gap_roll_min_5"),
-            "roll_range_text_len_10": F.col("roll_max_text_len_10")
-            - F.col("roll_min_text_len_10"),
-            "roll_range_text_len_20": F.col("roll_max_text_len_20")
-            - F.col("roll_min_text_len_20"),
             "turn_idx_conv": rn.cast("int"),
             "text_len_vs_first": (tl - F.col("conv_first_text_len")).cast("int"),
             "run_depth_text_len": (
@@ -752,11 +771,68 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s, enum_shuffle=False) -> DataFr
                 / F.least(rn - 1, F.lit(WIDE_ROLL10)),
             )
             / F.lit(1e6),
+            # exact base-block compositions of the sliding minima/
+            # maxima staged in W0 (see the W0 comment): one lag per
+            # block instead of O(frame) updates per row
+            **(
+                {
+                    "roll_max_text_len_10": F.greatest(
+                        F.col("roll_max_text_len_5"),
+                        *[
+                            F.lag("roll_max_text_len_5", j * roll_rows).over(w)
+                            for j in range(1, WIDE_ROLL10 // roll_rows)
+                        ],
+                    ),
+                    "roll_min_text_len_10": F.least(
+                        F.col("roll_min_text_len_5"),
+                        *[
+                            F.lag("roll_min_text_len_5", j * roll_rows).over(w)
+                            for j in range(1, WIDE_ROLL10 // roll_rows)
+                        ],
+                    ),
+                    "roll_max_text_len_20": F.greatest(
+                        F.col("roll_max_text_len_5"),
+                        *[
+                            F.lag("roll_max_text_len_5", j * roll_rows).over(w)
+                            for j in range(1, WIDE_ROLL20 // roll_rows)
+                        ],
+                    ),
+                    "roll_min_text_len_20": F.least(
+                        F.col("roll_min_text_len_5"),
+                        *[
+                            F.lag("roll_min_text_len_5", j * roll_rows).over(w)
+                            for j in range(1, WIDE_ROLL20 // roll_rows)
+                        ],
+                    ),
+                    "gap_roll_max_10": F.greatest(
+                        F.col("gap_roll_max_5"),
+                        *[
+                            F.lag("gap_roll_max_5", j * roll_rows).over(w)
+                            for j in range(1, WIDE_ROLL10 // roll_rows)
+                        ],
+                    ),
+                    "gap_roll_min_10": F.least(
+                        F.col("gap_roll_min_5"),
+                        *[
+                            F.lag("gap_roll_min_5", j * roll_rows).over(w)
+                            for j in range(1, WIDE_ROLL10 // roll_rows)
+                        ],
+                    ),
+                }
+                if _tiles
+                else {}
+            ),
         }
     )
-    df = df.withColumn(
-        "sess_mean_text_len",
-        F.col("sess_cum_text_len").cast("double") / F.col("turn_in_session"),
+    df = df.withColumns(
+        {
+            "sess_mean_text_len": F.col("sess_cum_text_len").cast("double")
+            / F.col("turn_in_session"),
+            "roll_range_text_len_10": F.col("roll_max_text_len_10")
+            - F.col("roll_min_text_len_10"),
+            "roll_range_text_len_20": F.col("roll_max_text_len_20")
+            - F.col("roll_min_text_len_20"),
+        }
     )
 
     # ---- SESS: the (conv_id, session_id) family, one node ----

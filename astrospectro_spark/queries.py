@@ -735,6 +735,14 @@ def q_feature_vector_wide(spark, sf_dir):
             "_tc": F.when(
                 ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
             ).otherwise(0),
+            # 5-row block min/max staged once: the 10/20/50-row rolling
+            # min/max are EXACT compositions (greatest/least of this
+            # block at lags 0/5/.../45 — blocks tile the frame; at
+            # partition heads the early blocks already cover [1, t] and
+            # missing lags are NULL, which greatest/least skip).
+            # Comparisons, not sums — exact for doubles too.
+            "_vmax5": F.max(v).over(w.rowsBetween(-4, 0)),
+            "_vmin5": F.min(v).over(w.rowsBetween(-4, 0)),
         }
     )
     # integer-unit value for higher moments (int64-safe 4th powers) and
@@ -774,6 +782,9 @@ def q_feature_vector_wide(spark, sf_dir):
             "_cgap": F.sum("_gap_us").over(wcum),
             "_ck": F.sum(_kst).over(wcum),
             "_ckn": F.count(_kst).over(wcum),
+            # gap block max/min (see _vmax5): staged after _gap exists
+            "_gmax5": F.max("_gap").over(w.rowsBetween(-4, 0)),
+            "_gmin5": F.min("_gap").over(w.rowsBetween(-4, 0)),
         }
     )
     # per-entity deg-2 fit inputs: x normalized to [0,1] on the entity's
@@ -845,6 +856,16 @@ def q_feature_vector_wide(spark, sf_dir):
         # head row: the sliding original divides a NULL sum by a zero
         # count (NULL); the diff form NULLs it explicitly
         return F.when(rn_ > 1, F.round(_gap_sum(n) / _gap_cnt(n)))
+
+    def _blkmax(base: str, n: int):
+        return F.greatest(
+            F.col(base), *[F.lag(base, j).over(w) for j in range(5, n, 5)]
+        )
+
+    def _blkmin(base: str, n: int):
+        return F.least(
+            F.col(base), *[F.lag(base, j).over(w) for j in range(5, n, 5)]
+        )
     marker = F.when(F.col("event_type").isin("purchase", "signup"), F.col("event_type"))
     sess_start = F.coalesce(
         F.last(F.when(F.col("_sb") == 1, F.col("_us")), ignorenulls=True).over(wcum),
@@ -1027,8 +1048,8 @@ def q_feature_vector_wide(spark, sf_dir):
         _r_cnt(_US_1D).alias("rate_1d"),
         _r_cnt(_US_7D).alias("rate_7d"),
         F.round(roll_mean, 6).alias("roll_mean_value_5"),
-        F.round(F.min(v).over(w5), 6).alias("roll_min_value_5"),
-        F.round(F.max(v).over(w5), 6).alias("roll_max_value_5"),
+        F.round(F.col("_vmin5"), 6).alias("roll_min_value_5"),
+        F.round(F.col("_vmax5"), 6).alias("roll_max_value_5"),
         F.round(F.sum(v).over(w5), 6).alias("roll_sum_value_5"),
         *[
             F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
@@ -1081,10 +1102,10 @@ def q_feature_vector_wide(spark, sf_dir):
         # but integer-µs ties are dyadic doubles both engines round the
         # same way, and k/1e6 then sits safely inside the round(6) grid
         F.round(_gap_mean_us(5) / 1e6, 6).alias("gap_roll_mean_5"),
-        F.round(F.max("_gap").over(w5), 6).alias("gap_roll_max_5"),
+        F.round(F.col("_gmax5"), 6).alias("gap_roll_max_5"),
         F.round(F.avg(v).over(w10), 6).alias("roll_mean_value_10"),
-        F.round(F.min(v).over(w10), 6).alias("roll_min_value_10"),
-        F.round(F.max(v).over(w10), 6).alias("roll_max_value_10"),
+        F.round(_blkmin("_vmin5", 10), 6).alias("roll_min_value_10"),
+        F.round(_blkmax("_vmax5", 10), 6).alias("roll_max_value_10"),
         F.round(F.sum(v).over(w10), 6).alias("roll_sum_value_10"),
         F.round(F.sqrt(F.greatest(F.lit(0.0), vc5_m2 - vc5_m * vc5_m)) / 100, 6).alias(
             "roll_std_value_5"
@@ -1150,14 +1171,14 @@ def q_feature_vector_wide(spark, sf_dir):
         ).alias("k_null_rate_so_far"),
         # ---- growth tier 2 (columns 101-130) ----
         F.round(F.avg(v).over(w20), 6).alias("roll_mean_value_20"),
-        F.round(F.min(v).over(w20), 6).alias("roll_min_value_20"),
-        F.round(F.max(v).over(w20), 6).alias("roll_max_value_20"),
+        F.round(_blkmin("_vmin5", 20), 6).alias("roll_min_value_20"),
+        F.round(_blkmax("_vmax5", 20), 6).alias("roll_max_value_20"),
         F.round(F.sum(v).over(w20), 6).alias("roll_sum_value_20"),
         F.round(
             F.sqrt(F.greatest(F.lit(0.0), vc10_m2 - vc10_m * vc10_m)) / 100, 6
         ).alias("roll_std_value_10"),
         F.round(_gap_mean_us(10) / 1e6, 6).alias("gap_roll_mean_10"),
-        F.round(F.max("_gap").over(w10), 6).alias("gap_roll_max_10"),
+        F.round(_blkmax("_gmax5", 10), 6).alias("gap_roll_max_10"),
         _r_cnt(_US_30D).alias("rate_30d"),
         F.round(_r_svc(_US_30D) / 100.0, 6).alias("value_sum_30d"),
         F.round(
@@ -1256,12 +1277,12 @@ def q_feature_vector_wide(spark, sf_dir):
         ).alias("lag3_ts_gap_s"),
         snap6(_vc_sum(50) / _nrows(50) / 100).alias("roll_mean_value_50"),
         F.round(_vc_sum(50) / 100.0, 6).alias("roll_sum_value_50"),
-        F.round(F.min(v).over(w50), 6).alias("roll_min_value_50"),
-        F.round(F.max(v).over(w50), 6).alias("roll_max_value_50"),
+        F.round(_blkmin("_vmin5", 50), 6).alias("roll_min_value_50"),
+        F.round(_blkmax("_vmax5", 50), 6).alias("roll_max_value_50"),
         F.round(
             F.sqrt(F.greatest(F.lit(0.0), vc20_m2 - vc20_m * vc20_m)) / 100, 6
         ).alias("roll_std_value_20"),
-        F.round(F.max("_gap").over(w20), 6).alias("gap_roll_max_20"),
+        F.round(_blkmax("_gmax5", 20), 6).alias("gap_roll_max_20"),
         F.round(_gap_mean_us(20) / 1e6, 6).alias("gap_roll_mean_20"),
         _r_cnt(_US_12H).alias("rate_12h"),
         F.round(_r_svc(_US_12H) / 100.0, 6).alias("value_sum_12h"),
@@ -1302,7 +1323,7 @@ def q_feature_vector_wide(spark, sf_dir):
         F.round(
             F.sqrt(F.greatest(F.lit(0.0), vc50_m2 - vc50_m * vc50_m)) / 100, 6
         ).alias("roll_std_value_50"),
-        F.round(F.min("_gap").over(w10), 6).alias("gap_roll_min_10"),
+        F.round(_blkmin("_gmin5", 10), 6).alias("gap_roll_min_10"),
         F.round(F.signum(v - lagv) * F.log1p(F.abs(v - lagv)), 6).alias(
             "signed_log1p_delta_value"
         ),

@@ -721,8 +721,45 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s, enum_shuffle=False) -> DataFr
     sess_carry = F.last(
         F.when(F.col("_sb") == 1, F.col("cum_text_len") - tll), ignorenulls=True
     ).over(wcum)
+    # the (conv, session) family's window inputs (see the SESS comment
+    # below): struct-max/carry forms over the SAME wcum frame, batched
+    # into this node so the family costs no extra pass
+    sid = F.col("session_id")
+    _sgap_in = F.when(
+        (F.col("_sb") == 0) & gap.isNotNull(), gap
+    ).otherwise(F.lit(-1.0))
+    ctrap = F.sum("_trap_s").over(wcum)
+    ctrapn = F.count("_trap_s").over(wcum)
     df = df.withColumns(
         {
+            "sess_max_text_len": F.max(F.struct(sid.alias("s"), tl.alias("x")))
+            .over(wcum)
+            .getField("x")
+            .cast("int"),
+            "sess_min_text_len": (
+                -F.max(F.struct(sid.alias("s"), (-tl).alias("x")))
+                .over(wcum)
+                .getField("x")
+            ).cast("int"),
+            "_sgap": F.max(F.struct(sid.alias("s"), _sgap_in.alias("x")))
+            .over(wcum)
+            .getField("x"),
+            "_s2carry": F.last(
+                F.when(F.col("_sb") == 1, F.col("_ctl2") - tll * tll),
+                ignorenulls=True,
+            ).over(wcum),
+            "_ctrap": F.coalesce(ctrap, F.lit(0)),
+            "_trapcarry": F.last(
+                F.when(F.col("_sb") == 1, F.coalesce(ctrap, F.lit(0))),
+                ignorenulls=True,
+            ).over(wcum),
+            "_trapn_sess": ctrapn
+            - F.coalesce(
+                F.last(
+                    F.when(F.col("_sb") == 1, ctrapn), ignorenulls=True
+                ).over(wcum),
+                F.lit(0),
+            ),
             "sess_cum_text_len": (
                 F.col("cum_text_len") - F.coalesce(sess_carry, F.lit(0))
             ).cast("long"),
@@ -835,24 +872,38 @@ def _wide_exprs(df, w, wcum, us, roll_rows, gap_s, enum_shuffle=False) -> DataFr
         }
     )
 
-    # ---- SESS: the (conv_id, session_id) family, one node ----
-    wsess = Window.partitionBy("conv_id", "session_id").orderBy("ts", "turn_idx")
-    wsc = wsess.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    smax = F.max(tl).over(wsc).cast("int")
-    smin = F.min(tl).over(wsc).cast("int")
+    # ---- SESS: the (conv_id, session_id) family WITHOUT its own
+    # WindowExec (round-6). A (conv, session) window costs a dedicated
+    # Sort + full buffer pass even though it reuses the exchange; every
+    # member of the family is instead expressed over the existing wcum
+    # frame (same technique q_feature_vector_wide uses natively):
+    # - max/min: lexicographic struct-max — session_id is nondecreasing
+    #   in (ts, turn_idx) order, so max(struct(session_id, x)) over the
+    #   conv prefix lands in the CURRENT session → within-session
+    #   running max of x (min via negation). Sentinel −1 stands in for
+    #   "no real gap yet" (gaps are >= 0; boundary rows and the rn=1
+    #   NULL-gap row map to −1, translated back to NULL at the end).
+    # - sums: cumulative minus its value carried at the last boundary
+    #   (the sess_cum_text_len trick), exact int64.
+    # Values are bit-identical to the (conv, session)-window originals
+    # (oracle/salted/enum parity suites).
     tis = F.col("turn_in_session")
-    sess_tlen2 = F.sum(tll * tll).over(wsc).cast("long")
     sm = F.col("sess_mean_text_len")
+    sess_tlen2 = F.col("_ctl2") - F.coalesce(F.col("_s2carry"), F.lit(0))
     df = df.withColumns(
         {
-            "sess_max_text_len": smax,
-            "sess_min_text_len": smin,
-            "sess_depth_text_len": (smax - smin).cast("int"),
-            "sess_gap_max_s": F.max(F.when(F.col("_sb") == 0, gap)).over(wsc),
+            "sess_depth_text_len": (
+                F.col("sess_max_text_len") - F.col("sess_min_text_len")
+            ).cast("int"),
+            "sess_gap_max_s": F.when(F.col("_sgap") >= 0, F.col("_sgap")),
             "sess_std_text_len": F.sqrt(
                 F.greatest(F.lit(0.0), sess_tlen2 / tis - sm * sm)
             ),
-            "sess_auc_trapezoid": F.sum("_trap_s").over(wsc) / F.lit(2000.0),
+            "sess_auc_trapezoid": F.when(
+                F.col("_trapn_sess") > 0,
+                F.col("_ctrap") - F.coalesce(F.col("_trapcarry"), F.lit(0)),
+            )
+            / F.lit(2000.0),
         }
     )
 

@@ -176,6 +176,12 @@ _ASOF_STATE_SCHEMA = (
     "has_turn boolean, last_us long, last_idx int, "
     "last_role string, last_tool string"
 )
+# STATE-SCHEMA VERSION NOTE (round-5 ADVICE): applyInPandasWithState
+# state is positional; the round-5 addition of ``has_turn`` (replacing
+# the pre-1970 ts-sign sentinel) is a BREAKING change for streaming
+# checkpoints written by earlier revisions — a restore would mis-bind
+# the 4-field legacy tuple into this 5-field layout. Upgrading a live
+# pipeline across that revision requires a fresh checkpoint directory.
 
 
 def stateful_asof_enrich(stream_df: DataFrame, retention: str | None = None):

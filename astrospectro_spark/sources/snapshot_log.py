@@ -413,13 +413,27 @@ def _commit_snapshot(
         raise CommitConflict(
             f"table advanced past snapshot {expected_snapshot_id}"
         )
+    # Atomic-BY-CONTENT v-file creation (round-5 ADVICE): the manifest
+    # is json.dump-ed into a private tmp file first and os.link(2) is
+    # the compare-and-swap — link fails with FileExistsError if the
+    # v-file already exists, and a v-file that exists is ALWAYS
+    # complete JSON. The previous O_EXCL-then-dump protocol could leave
+    # a partial husk on crash mid-dump, and a writer stalled >grace
+    # between create and close could have its inode unlinked under it
+    # by the husk-clear path (LATEST then pointing at nothing, or a
+    # silently lost commit). Under this protocol no live writer ever
+    # holds snap_path open, so the husk-clear in _adopt_orphan (kept
+    # for files left by pre-upgrade writers or external corruption) can
+    # no longer race anyone.
+    tmp_snap = snap_path + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp_snap, "w") as f:
+        json.dump(snap, f)
     try:
-        with open(snap_path, "x") as f:
-            json.dump(snap, f)
+        os.link(tmp_snap, snap_path)
     except FileExistsError as e:
         # The v-file exists but we read LATEST == parent above. Either a
-        # live racer created it microseconds ago and is about to publish,
-        # or a writer CRASHED between O_EXCL and the LATEST swap, leaving
+        # live racer linked it microseconds ago and is about to publish,
+        # or a writer CRASHED between link and the LATEST swap, leaving
         # an orphan that would conflict every future commit from this
         # parent forever (the round-4 wedge). Resolve by HELPING: finish
         # the other writer's publication ourselves, then conflict so OUR
@@ -430,6 +444,11 @@ def _commit_snapshot(
             f"concurrent commit already produced snapshot {snap_id}; "
             "adopted it into LATEST — retry on a fresh read"
         ) from e
+    finally:
+        try:
+            os.unlink(tmp_snap)
+        except FileNotFoundError:
+            pass
     tmp = _latest_path(table_dir) + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump({"snapshot_id": snap_id}, f)
@@ -446,12 +465,14 @@ def _adopt_orphan(
 
     - Valid JSON → advance LATEST to it (idempotent with the racer's
       own publish: byte-identical content, atomic ``os.replace``).
-    - Unparseable AND stale (mtime older than the grace window) → a
-      writer died mid-``json.dump``; unlink the husk so the next
-      retry's O_EXCL create can win.
-    - Unparseable but FRESH → a live racer may still be flushing;
-      leave it alone (their close/publish or a later stale pass
-      resolves it).
+    - Unparseable AND stale (mtime older than the grace window) →
+      unlink the husk so the next retry's link-CAS can win. Since the
+      round-6 atomic-by-content protocol, this engine can no longer
+      produce husks (v-files are linked complete) and no live writer
+      ever holds ``snap_path`` open — the branch only clears files left
+      by pre-upgrade writers or external corruption, race-free.
+    - Unparseable but FRESH → grace-window caution; leave it alone (a
+      later stale pass resolves it).
     """
     grace_s = 10.0
     try:

@@ -162,6 +162,31 @@ def test_concurrent_writers_exactly_one_wins(spark, table):
     assert read_table(spark, table).count() == 15
 
 
+def test_commit_leaves_complete_vfiles_and_no_tmp_residue(spark, table):
+    """Round-6 atomic-by-content protocol: every published v-file is
+    complete JSON the instant it becomes visible (json.dump into a tmp
+    file, os.link as the CAS), and neither a successful commit nor a
+    losing racer leaves a .tmp behind."""
+    import json, os
+
+    commit(table, _df(spark, 0, 5), "append")
+    base = current_snapshot_id(table)
+    snapdir = os.path.join(table, "_snapshots")
+    # force the link-CAS LOSS path (tmp written, link fails, finally
+    # unlinks): a hand-made orphan v-file already occupies base+1
+    parent = json.load(open(os.path.join(snapdir, f"v{base:08d}.json")))
+    with open(os.path.join(snapdir, f"v{base + 1:08d}.json"), "x") as f:
+        json.dump({**parent, "snapshot_id": base + 1, "parent_id": base}, f)
+    with pytest.raises(CommitConflict):
+        commit(table, _df(spark, 10, 20), "append")
+    names = os.listdir(snapdir)
+    assert not [n for n in names if ".tmp." in n], names
+    for n in names:
+        if n.endswith(".json") and n.startswith("v"):
+            with open(os.path.join(snapdir, n)) as f:
+                json.load(f)  # every visible v-file parses
+
+
 def test_orphaned_vfile_is_adopted_not_a_wedge(spark, table):
     """Round-4 ADVICE (medium): a writer crashing between O_EXCL v-file
     creation and the LATEST swap must not wedge the table. The next
